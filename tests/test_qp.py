@@ -1,0 +1,238 @@
+"""QP layer tests: Riccati vs dense KKT oracle; IPM vs SLSQP oracle + KKT checks.
+
+The dense-KKT and SLSQP oracles play the role of the reference's independent
+CasADi+IPOPT cross-check (``scripts/test_scripts/casadi_sim_diff.py``).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+import scipy.optimize
+
+from nmpc_nav_control_tpu.qp.ipm import BoxQP, solve_box_qp
+from nmpc_nav_control_tpu.qp.linalg_small import cho_solve_small, cholesky_small
+from nmpc_nav_control_tpu.qp.riccati import lqr_solve
+
+
+def _rand_problem(rng, N=6, nx=4, nu=2, dtype=np.float64):
+    A = rng.normal(size=(N, nx, nx)) * 0.3 + np.eye(nx) * 0.9
+    B = rng.normal(size=(N, nx, nu)) * 0.5
+    c = rng.normal(size=(N, nx)) * 0.1
+    Qd = rng.uniform(0.5, 2.0, size=(N + 1, nx))
+    Rd = rng.uniform(0.5, 2.0, size=(N, nu))
+    qx = rng.normal(size=(N + 1, nx))
+    qu = rng.normal(size=(N, nu))
+    dx0 = rng.normal(size=(nx,))
+    return tuple(np.asarray(a, dtype) for a in (A, B, c, Qd, Rd, qx, qu, dx0))
+
+
+def _dense_eq_qp(A, B, c, Qd, Rd, qx, qu, dx0):
+    """Solve the equality-constrained LQR via a dense KKT system (oracle)."""
+    N, nx, nu = B.shape
+    nw = (N + 1) * nx + N * nu
+
+    def xi(k):
+        return slice(k * nx, (k + 1) * nx)
+
+    def ui(k):
+        return slice((N + 1) * nx + k * nu, (N + 1) * nx + (k + 1) * nu)
+
+    H = np.zeros((nw, nw))
+    h = np.zeros(nw)
+    for k in range(N + 1):
+        H[xi(k), xi(k)] = np.diag(Qd[k])
+        h[xi(k)] = qx[k]
+    for k in range(N):
+        H[ui(k), ui(k)] = np.diag(Rd[k])
+        h[ui(k)] = qu[k]
+
+    ne = (N + 1) * nx
+    C = np.zeros((ne, nw))
+    b = np.zeros(ne)
+    C[0:nx, xi(0)] = np.eye(nx)
+    b[0:nx] = dx0
+    for k in range(N):
+        r = slice((k + 1) * nx, (k + 2) * nx)
+        C[r, xi(k)] = A[k]
+        C[r, ui(k)] = B[k]
+        C[r, xi(k + 1)] = -np.eye(nx)
+        b[r] = -c[k]
+
+    KKT = np.block([[H, C.T], [C, np.zeros((ne, ne))]])
+    rhs = np.concatenate([-h, b])
+    sol = np.linalg.solve(KKT, rhs)
+    w = sol[:nw]
+    xs = w[: (N + 1) * nx].reshape(N + 1, nx)
+    us = w[(N + 1) * nx :].reshape(N, nu)
+    return xs, us
+
+
+def test_cholesky_small_matches_numpy():
+    rng = np.random.default_rng(0)
+    for n in (1, 2, 4, 7):
+        S = rng.normal(size=(5, n, n))
+        M = S @ np.swapaxes(S, -1, -2) + n * np.eye(n)
+        L = np.asarray(cholesky_small(jnp.asarray(M)))
+        np.testing.assert_allclose(L, np.linalg.cholesky(M), rtol=1e-9, atol=1e-9)
+        rhs = rng.normal(size=(5, n, 3))
+        X = np.asarray(cho_solve_small(jnp.asarray(L), jnp.asarray(rhs)))
+        np.testing.assert_allclose(X, np.linalg.solve(M, rhs), rtol=1e-8, atol=1e-8)
+
+
+def test_riccati_matches_dense_kkt():
+    rng = np.random.default_rng(42)
+    prob = _rand_problem(rng)
+    A, B, c, Qd, Rd, qx, qu, dx0 = prob
+    xs_o, us_o = _dense_eq_qp(*prob)
+    dxs, dus = lqr_solve(*(jnp.asarray(a) for a in (A, B)),
+                         jnp.asarray(Qd), jnp.asarray(Rd),
+                         jnp.asarray(qx), jnp.asarray(qu),
+                         jnp.asarray(c), jnp.asarray(dx0))
+    np.testing.assert_allclose(np.asarray(dxs), xs_o, rtol=1e-8, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(dus), us_o, rtol=1e-8, atol=1e-8)
+
+
+def _oracle_box_qp(
+    A, B, c, Qd, Rd, qx, qu, dx0, idxbx, idxbu, lbx, ubx, lbu, ubu,
+    rho=10.0, iters=20000, tol=1e-10,
+):
+    """Dense ADMM oracle for the box-constrained stagewise QP.
+
+    Completely independent code path (dense numpy KKT factorization + box
+    projection splitting); linear convergence for this strictly convex QP.
+    """
+    N, nx, nu = B.shape
+    nw = (N + 1) * nx + N * nu
+
+    def split(w):
+        xs = w[: (N + 1) * nx].reshape(N + 1, nx)
+        us = w[(N + 1) * nx :].reshape(N, nu)
+        return xs, us
+
+    Hdiag = np.concatenate([Qd.ravel(), Rd.ravel()])
+    h = np.concatenate([qx.ravel(), qu.ravel()])
+
+    ne = (N + 1) * nx
+    C = np.zeros((ne, nw))
+    b = np.zeros(ne)
+    C[0:nx, 0:nx] = np.eye(nx)
+    b[0:nx] = dx0
+    for k in range(N):
+        r = slice((k + 1) * nx, (k + 2) * nx)
+        C[r, k * nx : (k + 1) * nx] = A[k]
+        C[r, (N + 1) * nx + k * nu : (N + 1) * nx + (k + 1) * nu] = B[k]
+        C[r, (k + 1) * nx : (k + 2) * nx] = -np.eye(nx)
+        b[r] = -c[k]
+
+    lb = np.full(nw, -np.inf)
+    ub = np.full(nw, np.inf)
+    for k in range(1, N + 1):
+        for j, i in enumerate(idxbx):
+            lb[k * nx + i] = lbx[k - 1, j]
+            ub[k * nx + i] = ubx[k - 1, j]
+    for k in range(N):
+        for j, i in enumerate(idxbu):
+            lb[(N + 1) * nx + k * nu + i] = lbu[k, j]
+            ub[(N + 1) * nx + k * nu + i] = ubu[k, j]
+
+    KKT = np.block(
+        [[np.diag(Hdiag + rho), C.T], [C, np.zeros((ne, ne))]]
+    )
+    lu_piv = scipy.linalg.lu_factor(KKT)
+
+    z = np.zeros(nw)
+    y = np.zeros(nw)
+    w = np.zeros(nw)
+    for _ in range(iters):
+        rhs = np.concatenate([-h + rho * (z - y), b])
+        w = scipy.linalg.lu_solve(lu_piv, rhs)[:nw]
+        z_new = np.clip(w + y, lb, ub)
+        y = y + w - z_new
+        if max(np.max(np.abs(w - z_new)), rho * np.max(np.abs(z_new - z))) < tol:
+            z = z_new
+            break
+        z = z_new
+    return split(np.clip(w, lb, ub))
+
+
+def _feasible_bounds(prob, idxbx, idxbu, tighten=0.7):
+    """Derive box bounds from the unconstrained LQR solution: tight enough to
+    bind, loose enough that the QP stays feasible."""
+    A, B, c, Qd, Rd, qx, qu, dx0 = prob
+    N = B.shape[0]
+    xs_u, us_u = _dense_eq_qp(*prob)
+    zx = np.abs(xs_u[1:][:, idxbx]).max(axis=0)
+    zu = np.abs(us_u[:, idxbu]).max(axis=0)
+    lbx = -np.tile(tighten * zx + 1e-3, (N, 1))
+    ubx = -lbx
+    # Generous input bounds keep the tightened state bounds reachable.
+    lbu = -np.tile(3.0 * zu + 1.0, (N, 1))
+    ubu = -lbu
+    return lbx, ubx, lbu, ubu
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_ipm_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    N, nx, nu = 6, 4, 2
+    prob = _rand_problem(rng, N, nx, nu)
+    A, B, c, Qd, Rd, qx, qu, dx0 = prob
+    dx0 = dx0 * 0.3
+    prob = (A, B, c, Qd, Rd, qx, qu, dx0)
+    idxbx, idxbu = (1, 3), (0, 1)
+    lbx, ubx, lbu, ubu = _feasible_bounds(prob, idxbx, idxbu)
+
+    qp = BoxQP(
+        A=jnp.asarray(A), B=jnp.asarray(B), c=jnp.asarray(c),
+        Qd=jnp.asarray(Qd), qx=jnp.asarray(qx),
+        Rd=jnp.asarray(Rd), qu=jnp.asarray(qu),
+        dx0=jnp.asarray(dx0),
+        lbx=jnp.asarray(lbx), ubx=jnp.asarray(ubx),
+        lbu=jnp.asarray(lbu), ubu=jnp.asarray(ubu),
+    )
+    sol = solve_box_qp(qp, idxbx, idxbu, iters=25)
+    # IPM-internal optimality measures first (diagnose divergence directly).
+    assert float(sol.mu) < 1e-8
+    assert float(sol.kkt_res) < 1e-6
+    xs_o, us_o = _oracle_box_qp(
+        A, B, c, Qd, Rd, qx, qu, dx0, idxbx, idxbu, lbx, ubx, lbu, ubu
+    )
+    np.testing.assert_allclose(np.asarray(sol.dxs), xs_o, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(sol.dus), us_o, atol=5e-5)
+    # Bounds must actually bind somewhere for this test to mean anything.
+    assert (
+        np.isclose(np.asarray(sol.dxs)[1:][:, idxbx], lbx).any()
+        or np.isclose(np.asarray(sol.dxs)[1:][:, idxbx], ubx).any()
+    )
+
+
+def test_ipm_respects_bounds_and_dynamics():
+    rng = np.random.default_rng(7)
+    N, nx, nu = 10, 4, 2
+    prob = _rand_problem(rng, N, nx, nu)
+    A, B, c, Qd, Rd, qx, qu, dx0 = prob
+    dx0 = dx0 * 0.3
+    prob = (A, B, c, Qd, Rd, qx, qu, dx0)
+    idxbx, idxbu = (0, 2), (0, 1)
+    lbx, ubx, lbu, ubu = _feasible_bounds(prob, idxbx, idxbu, tighten=0.6)
+    qp = BoxQP(
+        A=jnp.asarray(A), B=jnp.asarray(B), c=jnp.asarray(c),
+        Qd=jnp.asarray(Qd), qx=jnp.asarray(qx),
+        Rd=jnp.asarray(Rd), qu=jnp.asarray(qu),
+        dx0=jnp.asarray(dx0),
+        lbx=jnp.asarray(lbx), ubx=jnp.asarray(ubx),
+        lbu=jnp.asarray(lbu), ubu=jnp.asarray(ubu),
+    )
+    sol = solve_box_qp(qp, idxbx, idxbu, iters=25)
+    dxs, dus = np.asarray(sol.dxs), np.asarray(sol.dus)
+    tol = 1e-6
+    assert (dxs[1:][:, idxbx] >= lbx - tol).all()
+    assert (dxs[1:][:, idxbx] <= ubx + tol).all()
+    assert (dus[:, idxbu] >= lbu - tol).all()
+    assert (dus[:, idxbu] <= ubu + tol).all()
+    # Dynamics feasibility.
+    np.testing.assert_allclose(dxs[0], dx0, atol=1e-8)
+    for k in range(N):
+        np.testing.assert_allclose(
+            dxs[k + 1], A[k] @ dxs[k] + B[k] @ dus[k] + c[k], atol=1e-7
+        )
