@@ -1,0 +1,87 @@
+"""Fixed-capacity path lists and pose/velocity sampling.
+
+Replaces the reference's ``std::list<TPath>`` + the sampling helpers of
+``PathDiscretizer`` (``PathDiscretizer.cpp:66-102``): a global parameter
+``u in [0, count]`` indexes segment ``floor(u)`` at local parameter
+``u - floor(u)``, clamped to the first/last segment outside the range.
+
+A ``PathList`` is a ``PathSegment`` pytree with a leading capacity axis [M]
+plus a ``count`` — fixed shapes, mask semantics, so path operations batch and
+jit without recompiles as paths change.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from nmpc_nav_control_tpu.paths.segment import (
+    PathSegment,
+    seg_dxy,
+    seg_theta,
+    seg_theta_holonomic,
+    seg_xy,
+)
+
+__all__ = ["PathList", "make_path_list", "pose_sample", "vel_sample", "path_capacity"]
+
+
+class PathList(NamedTuple):
+    segs: PathSegment      # every leaf has leading [M]
+    count: jnp.ndarray     # [] int32 number of valid segments
+
+
+def path_capacity(plist: PathList) -> int:
+    return plist.segs.cx.shape[0]
+
+
+def make_path_list(segments, capacity: int) -> PathList:
+    """Stack a Python list of PathSegment into a fixed-capacity PathList."""
+    n = len(segments)
+    assert n <= capacity, f"{n} segments > capacity {capacity}"
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *segments)
+    pad = capacity - n
+
+    def pad_leaf(x):
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths)
+
+    segs = jax.tree_util.tree_map(pad_leaf, stacked)
+    return PathList(segs=segs, count=jnp.asarray(n, jnp.int32))
+
+
+def _locate(plist: PathList, sample_u):
+    """Global u -> (segment, local u) with the reference clamping
+    (``PathDiscretizer.cpp:68-75``)."""
+    path_num = jnp.floor(sample_u).astype(jnp.int32)
+    u = sample_u - path_num.astype(sample_u.dtype)
+    over = path_num >= plist.count
+    under = path_num < 0
+    path_num = jnp.clip(path_num, 0, plist.count - 1)
+    u = jnp.where(over, jnp.ones_like(u), jnp.where(under, jnp.zeros_like(u), u))
+    seg = jax.tree_util.tree_map(lambda leaf: leaf[path_num], plist.segs)
+    return seg, u
+
+
+def pose_sample(plist: PathList, sample_u, is_holonomic: bool):
+    """(x, y, theta) at global u — ``PathDiscretizer::getPoseSample``
+    (``PathDiscretizer.cpp:66-90``): non-holonomic theta is the tangent
+    heading, +pi when the segment's nominal velocity is negative (reverse
+    driving); holonomic theta uses the dedicated heading profile."""
+    seg, u = _locate(plist, sample_u)
+    x, y = seg_xy(seg, u)
+    if is_holonomic:
+        theta = seg_theta_holonomic(seg, u)
+    else:
+        theta = seg_theta(seg, u)
+        theta = jnp.where(seg.velocity >= 0, theta, theta + jnp.pi)
+    return jnp.stack([x, y, theta])
+
+
+def vel_sample(plist: PathList, sample_u):
+    """(dx/du, dy/du) at global u — ``PathDiscretizer::getVelSample``
+    (``PathDiscretizer.cpp:92-102``)."""
+    seg, u = _locate(plist, sample_u)
+    dx, dy = seg_dxy(seg, u)
+    return jnp.stack([dx, dy])

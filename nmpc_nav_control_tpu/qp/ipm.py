@@ -30,7 +30,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from nmpc_nav_control_tpu.qp.riccati import riccati_factor, riccati_solve
+from nmpc_nav_control_tpu.qp.riccati import _highest_precision, riccati_factor, riccati_solve
 
 __all__ = ["BoxQP", "IPMSolution", "solve_box_qp"]
 
@@ -90,6 +90,7 @@ def _ftb_alpha(v, dv, tau):
     return jnp.minimum(1.0, tau * jnp.min(ratio))
 
 
+@_highest_precision
 def solve_box_qp(
     qp: BoxQP,
     idxbx,
@@ -281,6 +282,7 @@ def solve_box_qp(
     )
 
 
+@_highest_precision
 def _stationarity_inf_norm(qp: BoxQP, idxbx, idxbu, it: _Iterate):
     """Inf-norm KKT stationarity residual (the ``inf_norm_res`` analog the
     reference reads at ``NMPCNavControlDiff.cpp:146``).

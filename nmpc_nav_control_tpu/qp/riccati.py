@@ -49,6 +49,20 @@ class RiccatiFactors(NamedTuple):
     Ls: jnp.ndarray
 
 
+def _highest_precision(fn):
+    """TPU matmuls default to bf16-mantissa MXU passes; the Riccati recursion
+    (and the IPM's tiny-slack arithmetic downstream) needs true f32."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("highest"):
+            return fn(*a, **k)
+
+    return wrapped
+
+
+@_highest_precision
 def riccati_factor(A, B, Qd, Rd, reg: float = 0.0) -> RiccatiFactors:
     """Backward matrix recursion.
 
@@ -88,6 +102,7 @@ def riccati_factor(A, B, Qd, Rd, reg: float = 0.0) -> RiccatiFactors:
     return RiccatiFactors(Ps=Ps, Ks=Ks, Ls=Ls)
 
 
+@_highest_precision
 def riccati_solve(factors: RiccatiFactors, A, B, qx, qu, c, dx0):
     """Vector backward recursion + forward rollout using cached factors.
 

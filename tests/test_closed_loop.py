@@ -1,0 +1,226 @@
+"""Closed-loop NMPC tests per geometry.
+
+Assertion-based equivalents of the reference's visual simulation scripts
+(``scripts/test_scripts/acados_sim_diff.py`` etc.): a separate plant model
+(the physical 5/7-state subsystem, integrated at a finer step) is driven by
+the controller's published command at 40 Hz; we assert pose convergence and
+constraint satisfaction instead of eyeballing a matplotlib animation.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nmpc_nav_control_tpu.control import (
+    controller_init,
+    controller_step,
+    make_controller,
+)
+from nmpc_nav_control_tpu.models import diff, omni4, tric
+from nmpc_nav_control_tpu.ocp.integrator import rk4_step
+from nmpc_nav_control_tpu.utils import dist, norm_ang_rad
+
+DT = 0.025
+N = 40
+
+
+def _traj_single_pose(goal, nx_dtype):
+    """Pose-goal mode: a single valid reference row (GoToPose packs one pose,
+    ``NMPCNavControlROS.cpp:629-634``)."""
+    traj = jnp.zeros((N + 1, 3), nx_dtype)
+    return traj.at[0].set(jnp.asarray(goal, nx_dtype)), 1
+
+
+def _simulate_diff(goal, ticks, dtype, noise=0.0, seed=0):
+    spec, data = make_controller(
+        "diff", DT, N,
+        dist_b=0.27, tau_v=0.1, v_max=1.0, a_max=2.0,
+        q_diag=[10.0, 10.0, 5.0, 0, 0, 0, 0], r_diag=[1.0, 1.0],
+        dtype=dtype,
+    )
+    state = controller_init(spec, dtype)
+    traj, n_valid = _traj_single_pose(goal, dtype)
+
+    @jax.jit
+    def tick(state, plant, key):
+        # Measurements from the plant (pose + body velocity).
+        pose = plant[:3]
+        vl, vr = plant[3], plant[4]
+        v = 0.5 * (vl + vr)
+        w = (vr - vl) / 0.27
+        vel = jnp.stack([v, jnp.zeros((), dtype), w])
+        state, cmd, stats = controller_step(
+            spec, data, state, pose, vel, traj, n_valid
+        )
+        # Plant: 5 physical states; the command sets the wheel-ref lag targets.
+        vl_ref, vr_ref = diff.direct_kinematics(cmd.v, cmd.w, 0.27)
+        key, sub = jax.random.split(key)
+        actuation = jnp.stack([vl_ref, vr_ref]) + noise * jax.random.normal(sub, (2,), dtype)
+
+        def plant_f(xp, u, p):
+            x, y, th, vl_, vr_ = xp
+            vb = 0.5 * (vl_ + vr_)
+            return jnp.stack([
+                vb * jnp.cos(th), vb * jnp.sin(th), (vr_ - vl_) / 0.27,
+                (u[0] - vl_) / 0.1, (u[1] - vr_) / 0.1,
+            ])
+
+        plant = rk4_step(plant_f, plant, actuation, None, DT)
+        return state, plant, key, cmd, stats
+
+    plant = jnp.zeros(5, dtype)
+    key = jax.random.PRNGKey(seed)
+    cmds, kkts = [], []
+    for _ in range(ticks):
+        state, plant, key, cmd, stats = tick(state, plant, key)
+        cmds.append((float(cmd.v), float(cmd.w)))
+        kkts.append(float(stats.kkt_res))
+    return np.asarray(plant), np.asarray(cmds), np.asarray(kkts)
+
+
+def test_diff_pose_goal_converges_f64():
+    goal = (1.0, 0.0, 0.0)
+    plant, cmds, kkts = _simulate_diff(goal, ticks=400, dtype=jnp.float64)
+    d = float(dist(plant[0], plant[1], goal[0], goal[1]))
+    ang = abs(float(norm_ang_rad(jnp.asarray(plant[2] - goal[2]))))
+    assert d < 0.01, f"position error {d}"
+    assert ang < np.deg2rad(1.0), f"orientation error {np.rad2deg(ang)} deg"
+    assert np.isfinite(kkts).all()
+    # Command respects wheel speed limits: |v| + 0.5*b*|w| = max wheel ref <= v_max.
+    wheel = np.abs(cmds[:, 0]) + 0.5 * 0.27 * np.abs(cmds[:, 1])
+    assert wheel.max() <= 1.0 + 1e-6
+
+
+def test_diff_lateral_goal_nonholonomic_stall_parity():
+    """A laterally-offset goal stalls with a small residual: at a stationary
+    linearization point the lateral direction is first-order uncontrollable
+    (y_dot = v sin(theta), v_bar = 0), so a Gauss-Newton RTI — ours or the
+    reference acados configuration — plateaus instead of executing a
+    shuffle maneuver.  Assert heading converges exactly and the residual
+    stays small; this documents expected (parity) behavior."""
+    goal = (1.0, 0.5, 0.0)
+    plant, cmds, kkts = _simulate_diff(goal, ticks=400, dtype=jnp.float64)
+    d = float(dist(plant[0], plant[1], goal[0], goal[1]))
+    ang = abs(float(norm_ang_rad(jnp.asarray(plant[2] - goal[2]))))
+    assert ang < np.deg2rad(1.0)
+    assert d < 0.1, f"residual {d} larger than the expected stall plateau"
+
+
+def test_diff_pose_goal_converges_f32():
+    # Production dtype: looser tolerance but must still reach the goal region.
+    goal = (1.0, 0.0, 0.0)
+    plant, cmds, _ = _simulate_diff(goal, ticks=400, dtype=jnp.float32)
+    d = float(dist(plant[0], plant[1], goal[0], goal[1]))
+    ang = abs(float(norm_ang_rad(jnp.asarray(plant[2] - goal[2]))))
+    assert d < 0.02, f"position error {d}"
+    assert ang < np.deg2rad(2.0), f"orientation error {np.rad2deg(ang)} deg"
+
+
+def test_diff_robust_to_actuation_noise():
+    # The acados_sim_diff.py scenario: Gaussian actuation noise sigma=0.05
+    # (``acados_sim_diff.py:148-159``); RTI must still converge nearby.
+    goal = (0.8, -0.3, 0.0)
+    plant, cmds, kkts = _simulate_diff(
+        goal, ticks=400, dtype=jnp.float64, noise=0.05, seed=3
+    )
+    d = float(dist(plant[0], plant[1], goal[0], goal[1]))
+    assert d < 0.08, f"position error {d} under noise"
+    assert np.isfinite(kkts).all()
+
+
+def test_omni4_pose_goal_converges():
+    dtype = jnp.float64
+    spec, data = make_controller(
+        "omni4", DT, N,
+        l1_plus_l2=0.535, tau_v=0.1, v_max=1.0, a_max=1.0,
+        q_diag=[10.0, 10.0, 10.0] + [0.0] * 8, r_diag=[1.0] * 4,
+        dtype=dtype,
+    )
+    state = controller_init(spec, dtype)
+    goal = (0.6, 0.8, -np.pi / 3)
+    traj, n_valid = _traj_single_pose(goal, dtype)
+
+    @jax.jit
+    def tick(state, plant):
+        pose = plant[:3]
+        v, vn, w = omni4.inverse_kinematics(
+            plant[3], plant[4], plant[5], plant[6], 0.535
+        )
+        vel = jnp.stack([v, vn, w])
+        state, cmd, stats = controller_step(spec, data, state, pose, vel, traj, n_valid)
+        refs = jnp.stack(omni4.direct_kinematics(cmd.v, cmd.vn, cmd.w, 0.535))
+
+        def plant_f(xp, u, p):
+            x, y, th = xp[0], xp[1], xp[2]
+            wv = xp[3:7]
+            v_, vn_, w_ = omni4.inverse_kinematics(wv[0], wv[1], wv[2], wv[3], 0.535)
+            ct, st = jnp.cos(th), jnp.sin(th)
+            return jnp.concatenate([
+                jnp.stack([v_ * ct - vn_ * st, v_ * st + vn_ * ct, w_]),
+                (u - wv) / 0.1,
+            ])
+
+        plant = rk4_step(plant_f, plant, refs, None, DT)
+        return state, plant, refs, stats
+
+    plant = jnp.zeros(7, dtype)
+    max_ref = 0.0
+    # No terminal-weight hack for omni4 (reference parity) -> weakly damped
+    # transient; settles to mm accuracy by ~20 s.
+    for _ in range(800):
+        state, plant, refs, stats = tick(state, plant)
+        max_ref = max(max_ref, float(jnp.max(jnp.abs(refs))))
+    d = float(dist(plant[0], plant[1], goal[0], goal[1]))
+    ang = abs(float(norm_ang_rad(jnp.asarray(plant[2] - goal[2]))))
+    assert d < 0.01, f"position error {d}"
+    assert ang < np.deg2rad(1.5), f"orientation error {np.rad2deg(ang)} deg"
+    assert max_ref <= 1.0 + 1e-6, f"wheel ref bound violated: {max_ref}"
+
+
+@pytest.mark.parametrize("bug_compat", [False])
+def test_tric_pose_goal_converges(bug_compat):
+    dtype = jnp.float64
+    spec, data = make_controller(
+        "tric", DT, N,
+        dist_d=0.27, tau_v=0.1, tau_a=0.5, v_max=1.0, a_max=1.0,
+        alpha_min=-np.deg2rad(30), alpha_max=np.deg2rad(30),
+        dalpha_max=np.deg2rad(120),
+        q_diag=[10.0, 10.0, 5.0, 0, 0, 0, 0], r_diag=[1.0, 1.0],
+        tric_bug_compat=bug_compat,
+        dtype=dtype,
+    )
+    state = controller_init(spec, dtype)
+    goal = (1.2, 0.0, 0.0)
+    traj, n_valid = _traj_single_pose(goal, dtype)
+
+    @jax.jit
+    def tick(state, plant):
+        pose = plant[:3]
+        vel = jnp.stack([plant[3], jnp.zeros((), dtype), jnp.zeros((), dtype)])
+        state, cmd, stats = controller_step(
+            spec, data, state, pose, vel, traj, n_valid, steer_angle=plant[4]
+        )
+        # tric cmd: (v_ref, alpha_ref) as lag targets.
+        u = jnp.stack([cmd.v, cmd.w])
+
+        def plant_f(xp, u_, p):
+            x, y, th, v_, al = xp
+            return jnp.stack([
+                v_ * jnp.cos(th) * jnp.cos(al),
+                v_ * jnp.sin(th) * jnp.cos(al),
+                v_ / 0.27 * jnp.sin(al),
+                (u_[0] - v_) / 0.1,
+                (u_[1] - al) / 0.5,
+            ])
+
+        plant = rk4_step(plant_f, plant, u, None, DT)
+        return state, plant, cmd, stats
+
+    plant = jnp.zeros(5, dtype)
+    max_alpha = 0.0
+    for _ in range(500):
+        state, plant, cmd, stats = tick(state, plant)
+        max_alpha = max(max_alpha, abs(float(cmd.w)))
+    d = float(dist(plant[0], plant[1], goal[0], goal[1]))
+    assert d < 0.02, f"position error {d}"
+    assert max_alpha <= np.deg2rad(30) + 1e-6, f"alpha_ref bound violated: {max_alpha}"

@@ -1,0 +1,246 @@
+"""Path subsystem tests: sampling, projection, discretization, windowing.
+
+Oracle: a straightforward numpy reimplementation of the reference's
+``PathDiscretizer::getNextNPoses`` while-loop (``PathDiscretizer.cpp:14-63``)
+run in float64.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nmpc_nav_control_tpu.paths import (
+    get_next_n_poses,
+    ingest,
+    make_cubic_segment,
+    make_line_segment,
+    make_path_list,
+    path_remains,
+    pop_completed,
+    pose_sample,
+    project_to_path,
+    rotate_end_of_curve,
+    top_up,
+    window_init,
+    active_path_list,
+    active_length,
+)
+from nmpc_nav_control_tpu.paths.segment import poly_deriv_eval, poly_eval
+
+
+def _np_poly(c, u):
+    return sum(ci * u**i for i, ci in enumerate(np.asarray(c)))
+
+
+def _np_discretizer(segs, nearest_u, dt, num_poses):
+    """Reference getNextNPoses oracle (float64, data-dependent while loop)."""
+    Nseg = len(segs)
+
+    def speed(u):
+        return abs(segs[min(int(np.floor(u)), Nseg - 1)]["vel"])
+
+    def pose(su):
+        pn = int(np.floor(su))
+        u = su - pn
+        if pn >= Nseg:
+            pn, u = Nseg - 1, 1.0
+        elif pn < 0:
+            pn, u = 0, 0.0
+        s = segs[pn]
+        x = _np_poly(s["cx"], u)
+        y = _np_poly(s["cy"], u)
+        dx = _np_poly(np.polynomial.polynomial.polyder(s["cx"]), u)
+        dy = _np_poly(np.polynomial.polynomial.polyder(s["cy"]), u)
+        th = np.arctan2(dy, dx)
+        if s["vel"] < 0:
+            th += np.pi
+        return np.array([x, y, th])
+
+    def dpdu(su):
+        pn = int(np.floor(su))
+        u = su - pn
+        if pn >= Nseg:
+            pn, u = Nseg - 1, 1.0
+        elif pn < 0:
+            pn, u = 0, 0.0
+        s = segs[pn]
+        dx = _np_poly(np.polynomial.polynomial.polyder(s["cx"]), u)
+        dy = _np_poly(np.polynomial.polynomial.polyder(s["cy"]), u)
+        return np.hypot(dx, dy)
+
+    n_cycle = 10
+    vel = speed(nearest_u)
+    goal = vel * dt
+    rel = goal / n_cycle
+    u = nearest_u
+    old = pose(u)
+    step = rel / dpdu(u)
+    curr = 0.0
+    out = []
+    while u < Nseg:
+        u = min(u + step, Nseg)
+        new = pose(u)
+        curr += np.hypot(new[0] - old[0], new[1] - old[1])
+        if (goal - curr) <= 1e-2 * goal:
+            out.append(new)
+            vel = speed(u)
+            goal = vel * dt
+            rel = goal / n_cycle
+            curr = 0.0
+        if len(out) == num_poses:
+            break
+        step = rel / dpdu(u)
+        old = new
+    last = pose(Nseg)
+    while len(out) < num_poses:
+        out.append(last)
+    return np.asarray(out)
+
+
+def test_poly_eval_and_deriv():
+    c = jnp.asarray([1.0, -2.0, 3.0, 0.5, 0, 0, 0, 0])
+    for u in (0.0, 0.3, 1.0):
+        want = 1 - 2 * u + 3 * u**2 + 0.5 * u**3
+        dwant = -2 + 6 * u + 1.5 * u**2
+        assert abs(float(poly_eval(c, jnp.asarray(u))) - want) < 1e-12
+        assert abs(float(poly_deriv_eval(c, jnp.asarray(u))) - dwant) < 1e-12
+
+
+def test_pose_sample_reverse_and_clamp():
+    seg_fwd = make_line_segment((0, 0), (1, 0), velocity=0.5)
+    seg_rev = make_line_segment((1, 0), (2, 0), velocity=-0.5)
+    plist = make_path_list([seg_fwd, seg_rev], capacity=4)
+    p0 = np.asarray(pose_sample(plist, jnp.asarray(0.5), False))
+    assert abs(p0[2]) < 1e-9  # forward heading 0
+    p1 = np.asarray(pose_sample(plist, jnp.asarray(1.5), False))
+    assert abs(p1[2] - np.pi) < 1e-9  # reverse: theta + pi
+    # Clamp beyond the end -> last segment at u=1.
+    p_end = np.asarray(pose_sample(plist, jnp.asarray(7.0), False))
+    np.testing.assert_allclose(p_end[:2], [2.0, 0.0], atol=1e-12)
+
+
+def test_projection_on_two_segment_path():
+    s1 = make_line_segment((0, 0), (1, 0))
+    s2 = make_cubic_segment([1.0, 1.0, 0.0], [0.0, 0.0, 1.0])  # x=1+u, y=u^2
+    plist = make_path_list([s1, s2], capacity=4)
+    # Nearest to (0.4, 0.2) is on segment 0 at u=0.4.
+    r = project_to_path(plist, 0.4, 0.2)
+    assert abs(float(r.u) - 0.4) < 1e-6
+    np.testing.assert_allclose([float(r.x), float(r.y)], [0.4, 0.0], atol=1e-6)
+    # Nearest to (1.8, 0.5) is on segment 1.
+    r2 = project_to_path(plist, 1.8, 0.5)
+    assert 1.0 < float(r2.u) < 2.0
+    # Verify stationarity: (P - r) . P' = 0 at the solution.
+    u_loc = float(r2.u) - 1.0
+    px = float(r2.x) - 1.8
+    py = float(r2.y) - 0.5
+    dx = 1.0
+    dy = 2 * u_loc
+    assert abs(px * dx + py * dy) < 1e-5
+
+
+def test_discretizer_matches_reference_oracle():
+    segs_np = [
+        {"cx": [0.0, 1.0], "cy": [0.0, 0.0], "vel": 0.8},
+        {"cx": [1.0, 1.0, 0.0], "cy": [0.0, 0.5, 0.5], "vel": 0.5},
+    ]
+    s1 = make_line_segment((0, 0), (1, 0), velocity=0.8)
+    s2 = make_cubic_segment([1.0, 1.0, 0.0], [0.0, 0.5, 0.5], velocity=0.5)
+    plist = make_path_list([s1, s2], capacity=4)
+
+    for nearest_u, dt, num in [(0.0, 0.025, 41), (0.3, 0.025, 41), (0.9, 0.1, 21)]:
+        ours = np.asarray(
+            get_next_n_poses(plist, jnp.asarray(nearest_u, jnp.float64), dt, num)
+        )
+        oracle = _np_discretizer(segs_np, nearest_u, dt, num)
+        np.testing.assert_allclose(ours, oracle, atol=1e-9, err_msg=f"u0={nearest_u}")
+
+
+def test_discretizer_tail_padding():
+    s1 = make_line_segment((0, 0), (0.05, 0), velocity=1.0)  # 5 cm path
+    plist = make_path_list([s1], capacity=2)
+    poses = np.asarray(get_next_n_poses(plist, jnp.asarray(0.0, jnp.float64), 0.025, 41))
+    # 1 m/s * 0.025 s = 2.5 cm spacing -> ~2 real poses, rest padded with end.
+    np.testing.assert_allclose(poses[-1], poses[-10], atol=1e-12)
+    np.testing.assert_allclose(poses[-1][:2], [0.05, 0.0], atol=1e-9)
+
+
+def _three_seg_window(dtype=jnp.float64):
+    segs = [
+        make_line_segment((0, 0), (2, 0), velocity=1.0, frame_id=1),
+        make_line_segment((2, 0), (4, 0), velocity=1.0, frame_id=1),
+        make_line_segment((4, 0), (6, 0), velocity=1.0, frame_id=1),
+    ]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *segs)
+    cap = 8
+
+    def pad(x):
+        return jnp.pad(x, [(0, cap - 3)] + [(0, 0)] * (x.ndim - 1))
+
+    return jax.tree_util.tree_map(pad, stacked), cap
+
+
+def test_windowing_top_up_respects_length_cap():
+    new_segs, cap = _three_seg_window()
+    win = window_init(cap, jnp.float64)
+    win = ingest(win, new_segs, 3, max_active_path_length=5.0)
+    # Each segment is 2 m; greedy top-up takes until >= 5 m -> 3 segments
+    # (2+2 < 5 so a third is pulled in).
+    assert int(win.active_count) == 3
+    assert float(active_length(win, 0.0)) == 6.0
+
+
+def test_windowing_velocity_sign_barrier():
+    segs = [
+        make_line_segment((0, 0), (2, 0), velocity=1.0, frame_id=1),
+        make_line_segment((2, 0), (4, 0), velocity=-1.0, frame_id=1),
+    ]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *segs)
+    cap = 4
+    stacked = jax.tree_util.tree_map(
+        lambda x: jnp.pad(x, [(0, cap - 2)] + [(0, 0)] * (x.ndim - 1)), stacked
+    )
+    win = window_init(cap, jnp.float64)
+    win = ingest(win, stacked, 2, max_active_path_length=5.0)
+    # Sign flip between seg 0 and 1 blocks the second segment.
+    assert int(win.active_count) == 1
+    assert int(win.total_count) == 2
+    assert float(path_remains(win, jnp.asarray(0.25))) == 1.75
+
+
+def test_windowing_pop_and_rotate():
+    new_segs, cap = _three_seg_window()
+    win = window_init(cap, jnp.float64)
+    win = ingest(win, new_segs, 3, max_active_path_length=3.0)
+    assert int(win.active_count) == 2  # 2 m + 2 m >= 3 m cap
+    # Robot passed 1.4 curves -> pop 1, u rebased to 0.4.
+    win, u = pop_completed(win, jnp.asarray(1.4, jnp.float64))
+    assert int(win.active_count) == 1 and abs(float(u) - 0.4) < 1e-12
+    assert int(win.total_count) == 2
+    # Active list view starts at the second segment.
+    pl = active_path_list(win, capacity=4)
+    p = np.asarray(pose_sample(pl, jnp.asarray(0.0, jnp.float64), False))
+    np.testing.assert_allclose(p[:2], [2.0, 0.0], atol=1e-12)
+    # End-of-curve rotation pulls in the third segment.
+    win = rotate_end_of_curve(win)
+    assert int(win.active_count) == 1 and int(win.total_count) == 1
+    pl = active_path_list(win, capacity=4)
+    p = np.asarray(pose_sample(pl, jnp.asarray(0.0, jnp.float64), False))
+    np.testing.assert_allclose(p[:2], [4.0, 0.0], atol=1e-12)
+
+
+def test_ingest_drops_empty_frame_segments():
+    segs = [
+        make_line_segment((0, 0), (1, 0), frame_id=0),   # empty frame: dropped
+        make_line_segment((1, 0), (2, 0), frame_id=1),
+    ]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *segs)
+    cap = 4
+    stacked = jax.tree_util.tree_map(
+        lambda x: jnp.pad(x, [(0, cap - 2)] + [(0, 0)] * (x.ndim - 1)), stacked
+    )
+    win = window_init(cap, jnp.float64)
+    win = ingest(win, stacked, 2, max_active_path_length=5.0)
+    assert int(win.total_count) == 1
+    pl = active_path_list(win, capacity=4)
+    p = np.asarray(pose_sample(pl, jnp.asarray(0.0, jnp.float64), False))
+    np.testing.assert_allclose(p[:2], [1.0, 0.0], atol=1e-12)
