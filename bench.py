@@ -1,0 +1,97 @@
+"""Headline benchmark: batched NMPC solves/s/chip at N=40 (diff geometry).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The metric counts FULL RTI solves — RK4 rollout + jacfwd linearization,
+Gauss-Newton cost blocks, and the 12-iteration Mehrotra box-IPM (each
+iteration = 1 Riccati factorization + 2 solves) — i.e. everything one
+``{name}_acados_solve()`` call does in the reference, batched over scenarios
+on one chip.
+
+Baseline: the reference runs 1 robot x 40 solves/s on a CPU
+(``NMPCNavControlROS.cpp:36-41``; BASELINE.md).  vs_baseline = value / 40.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    import jax.numpy as jnp
+
+    from nmpc_nav_control_tpu.control import (
+        controller_init,
+        controller_step,
+        make_controller,
+    )
+
+    B = int(os.environ.get("BENCH_BATCH", "4096"))
+    N = int(os.environ.get("BENCH_HORIZON", "40"))
+    REPS = int(os.environ.get("BENCH_REPS", "10"))
+    dtype = jnp.float32
+
+    spec, data = make_controller(
+        "diff", 1.0 / 40.0, N,
+        dist_b=0.27, tau_v=0.1, v_max=1.0, a_max=2.0,
+        q_diag=[10.0, 10.0, 5.0, 0, 0, 0, 0], r_diag=[1.0, 1.0],
+        dtype=dtype,
+    )
+
+    def one(state, pose, vel, traj, n_valid):
+        new_state, cmd, stats = controller_step(
+            spec, data, state, pose, vel, traj, n_valid
+        )
+        return new_state, jnp.stack([cmd.v, cmd.vn, cmd.w]), stats.kkt_res
+
+    step = jax.jit(jax.vmap(one))
+
+    state0 = controller_init(spec, dtype)
+    states = jax.tree_util.tree_map(
+        lambda x: jnp.tile(x[None], (B,) + (1,) * x.ndim), state0
+    )
+    rng = np.random.default_rng(0)
+    poses = jnp.asarray(rng.normal(size=(B, 3)) * 0.1, dtype)
+    vels = jnp.asarray(rng.normal(size=(B, 3)) * 0.1, dtype)
+    trajs = jnp.zeros((B, N + 1, 3), dtype).at[:, 0, 0].set(
+        jnp.asarray(rng.uniform(0.3, 1.5, size=(B,)), dtype)
+    )
+    n_valids = jnp.ones((B,), jnp.int32)
+
+    args = (states, poses, vels, trajs, n_valids)
+
+    # Warmup (compile + first execution), carrying warm state like production.
+    out = jax.block_until_ready(step(*args))
+    args = (out[0],) + args[1:]
+    out = jax.block_until_ready(step(*args))
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(step(*args))
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    solves_per_s = B / med
+
+    if not bool(jnp.all(jnp.isfinite(out[2]))):
+        raise RuntimeError("non-finite KKT residuals in benchmark batch")
+
+    print(json.dumps({
+        "metric": f"nmpc_solves_per_s_per_chip_N{N}",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / 40.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
