@@ -1,0 +1,70 @@
+"""Real-time executor: the 40 Hz timer loop.
+
+The ``ros::Timer`` equivalent (``NMPCNavControlROS.cpp:36-41,508-514``): runs
+the node's control cycle at ``control_freq`` Hz against a pluggable state
+provider and command sink, with per-cycle wall-time accounting against the
+period budget.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional, Protocol
+
+from nmpc_nav_control_tpu.runtime.messages import ControlStatus, Twist
+from nmpc_nav_control_tpu.runtime.node import NmpcNavControlNode
+
+__all__ = ["StateProvider", "CommandSink", "RealTimeExecutor"]
+
+
+class StateProvider(Protocol):
+    """Supplies robot state each cycle (the tf2 boundary)."""
+
+    def get_state(self) -> tuple:
+        """Returns (pose (x,y,theta), vel (v,vn,w), valid: bool)."""
+        ...
+
+
+class CommandSink(Protocol):
+    def publish_cmd_vel(self, twist: Twist) -> None: ...
+
+    def publish_status(self, status: ControlStatus) -> None: ...
+
+
+class RealTimeExecutor:
+    """Fixed-rate loop with overrun accounting.
+
+    A cycle that exceeds the period is logged as an overrun and the next
+    cycle starts immediately (no catch-up bursts — matches ros::Timer's
+    default behavior for slow callbacks).
+    """
+
+    def __init__(self, node: NmpcNavControlNode, provider: StateProvider,
+                 sink: CommandSink,
+                 on_overrun: Optional[Callable[[float], None]] = None):
+        self.node = node
+        self.provider = provider
+        self.sink = sink
+        self.period = node.config.dt
+        self.on_overrun = on_overrun
+        self.overruns = 0
+
+    def run(self, cycles: int) -> None:
+        next_deadline = time.perf_counter() + self.period
+        for _ in range(cycles):
+            pose, vel, valid = self.provider.get_state()
+            twist, status = self.node.tick(
+                pose, vel, pose_valid=valid, vel_valid=valid
+            )
+            if twist is not None:
+                self.sink.publish_cmd_vel(twist)
+            self.sink.publish_status(status)
+
+            now = time.perf_counter()
+            if now > next_deadline:
+                self.overruns += 1
+                if self.on_overrun is not None:
+                    self.on_overrun(now - next_deadline)
+                next_deadline = now + self.period
+            else:
+                time.sleep(next_deadline - now)
+                next_deadline += self.period

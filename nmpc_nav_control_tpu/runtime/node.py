@@ -1,0 +1,177 @@
+"""Host-side controller node: the ``NMPCNavControlROS`` equivalent.
+
+Owns the static controller (spec/data/cfg), the jitted tick, and the device
+state pytree; exposes message-level callbacks and a per-cycle ``tick`` that
+consumes measurements and returns outgoing messages.  The device boundary is
+exactly one host->device transfer (measurements) and one device->host
+transfer (command + status) per cycle.
+
+Reference behaviors carried over:
+  - callbacks: pose_goal / path_no_stack_up(_2) / control_command
+    (``NMPCNavControlROS.cpp:304-336``);
+  - Twist encoding incl. the tric quirk: ``angular.z`` carries the *measured*
+    steering-wheel angle, even for stop commands (``pubCmdVel``, ``:338-362``);
+  - control_status publishing every tick (``:364-388``);
+  - per-cycle wall-time + solver-time accounting (the ROS_DEBUG timing hooks,
+    ``:508-514,715``) surfaced as p50/p99 stats.
+"""
+from __future__ import annotations
+
+import time
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nmpc_nav_control_tpu.control import make_controller
+from nmpc_nav_control_tpu.control.state_machine import (
+    Measurements,
+    NodeState,
+    node_init,
+    node_tick,
+    on_command,
+    on_goal_pose,
+    on_path_set,
+)
+from nmpc_nav_control_tpu.runtime.config import RobotConfig
+from nmpc_nav_control_tpu.runtime.messages import (
+    ControlStatus,
+    FrameTable,
+    ParametricPathSet,
+    ParametricPathSet2,
+    PoseStamped,
+    Twist,
+    decode_path_set,
+)
+
+__all__ = ["NmpcNavControlNode"]
+
+
+class NmpcNavControlNode:
+    """Single-robot host controller (the batched/fleet path uses
+    ``control.state_machine.node_tick`` under ``vmap`` directly)."""
+
+    def __init__(self, config: RobotConfig, dtype=jnp.float32):
+        self.config = config
+        self.dtype = dtype
+        self.frames = FrameTable()
+        self.spec, self.data = make_controller(
+            config.steering_geometry,
+            config.dt,
+            config.horizon,
+            dtype=dtype,
+            **config.controller_kwargs(),
+        )
+        self.cfg = config.nav
+        self.state: NodeState = node_init(self.spec, self.cfg, dtype)
+        self._tick = jax.jit(
+            lambda s, m: node_tick(self.spec, self.data, self.cfg, s, m)
+        )
+        self._steer_angle = 0.0
+        self._cycle_times: List[float] = []
+        self._solver_kkt: List[float] = []
+
+    # ------------------------------------------------------------------ #
+    # Callbacks (subscriber equivalents)
+    # ------------------------------------------------------------------ #
+
+    def on_pose_goal(self, msg: PoseStamped) -> None:
+        """``goalPoseReceivedCallback`` (``:304-310``)."""
+        goal = jnp.asarray([msg.x, msg.y, msg.theta], self.dtype)
+        self.state = on_goal_pose(self.state, goal)
+
+    def on_path_no_stack_up(self, msg: ParametricPathSet) -> None:
+        """v1 path topic: request_id forced to 0 (``:312-317``)."""
+        self._ingest_paths(msg.paths, request_id=0)
+
+    def on_path_no_stack_up_2(self, msg: ParametricPathSet2) -> None:
+        """v2 path topic with request_id (``:319-327``)."""
+        self._ingest_paths(msg.paths, request_id=msg.request_id)
+
+    def _ingest_paths(self, paths, request_id: int) -> None:
+        segs, n = decode_path_set(
+            ParametricPathSet(paths=list(paths)),
+            self.frames,
+            self.cfg.path_capacity,
+            self.dtype,
+        )
+        self.state = on_path_set(self.state, self.cfg, segs, n, request_id)
+
+    def on_control_command(self, command: str) -> bool:
+        """``controlCommandReceivedCallback`` (``:329-336``).  Returns False
+        for an invalid command (the host logs the error)."""
+        if command not in ("break", "idle"):
+            return False
+        self.state = on_command(self.state, command)
+        return True
+
+    def set_steering_wheel_angle(self, angle: float) -> None:
+        """tric steering-angle ingest (``getSteeringWheelAngle``, ``:486-506``)."""
+        self._steer_angle = float(angle)
+
+    # ------------------------------------------------------------------ #
+    # Control cycle
+    # ------------------------------------------------------------------ #
+
+    def tick(self, pose, vel, pose_valid=True, vel_valid=True,
+             steer_valid=True):
+        """One control cycle. Returns (Twist | None, ControlStatus).
+
+        ``pose``: (x, y, theta) in the active reference frame;
+        ``vel``: (v, vn, w) body velocity.  A ``None`` Twist means no cmd_vel
+        is published this tick (Idle/Error).
+        """
+        t0 = time.perf_counter()
+        meas = Measurements(
+            pose=jnp.asarray(pose, self.dtype),
+            vel=jnp.asarray(vel, self.dtype),
+            steer_angle=jnp.asarray(self._steer_angle, self.dtype),
+            pose_valid=jnp.asarray(bool(pose_valid)),
+            vel_valid=jnp.asarray(bool(vel_valid)),
+            steer_valid=jnp.asarray(bool(steer_valid)),
+        )
+        self.state, out = self._tick(self.state, meas)
+
+        publish = bool(out.publish_cmd)
+        twist: Optional[Twist] = None
+        if publish:
+            v = float(out.cmd.v)
+            vn = float(out.cmd.vn)
+            w = float(out.cmd.w)
+            if self.spec.geometry == "tric":
+                # Reference quirk: cmd_vel.angular.z carries the MEASURED
+                # steering angle, not alpha_ref — even when stopping
+                # (``pubCmdVel``, ``:351-355``).
+                twist = Twist(linear_x=v, linear_y=0.0,
+                              angular_z=self._steer_angle)
+            elif self.spec.geometry == "diff":
+                twist = Twist(linear_x=v, linear_y=0.0, angular_z=w)
+            else:
+                twist = Twist(linear_x=v, linear_y=vn, angular_z=w)
+
+        status = ControlStatus(
+            status=int(out.status_code),
+            request_id=int(out.request_id),
+            path_remains=float(out.path_remains),
+        )
+        self._cycle_times.append(time.perf_counter() - t0)
+        self._solver_kkt.append(float(out.kkt_res))
+        return twist, status
+
+    # ------------------------------------------------------------------ #
+    # Observability (the ROS_DEBUG timing hooks, ``:508-514,715``)
+    # ------------------------------------------------------------------ #
+
+    def timing_stats(self) -> dict:
+        if not self._cycle_times:
+            return {}
+        t = np.asarray(self._cycle_times) * 1e3
+        return {
+            "cycles": len(t),
+            "p50_ms": float(np.percentile(t, 50)),
+            "p99_ms": float(np.percentile(t, 99)),
+            "max_ms": float(t.max()),
+            "budget_ms": self.config.dt * 1e3,
+            "last_kkt": self._solver_kkt[-1],
+        }
