@@ -30,7 +30,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from nmpc_nav_control_tpu.qp.riccati import _highest_precision, riccati_factor, riccati_solve
+from nmpc_nav_control_tpu.qp.riccati import (
+    _highest_precision,
+    riccati_factor_v,
+    riccati_solve_v,
+)
 
 __all__ = ["BoxQP", "IPMSolution", "solve_box_qp"]
 
@@ -154,9 +158,10 @@ def solve_box_qp(
         Dx = it.l_xl / it.s_xl + it.l_xu / it.s_xu        # [N, nbx]
         Du = it.l_ul / it.s_ul + it.l_uu / it.s_uu        # [N, nbu]
         Qbar = qp.Qd.at[1:, idxbx].add(Dx)
-        Rbar = qp.Rd.at[:, idxbu].add(Du)
+        # reg folds into the R diagonal (identical to adding it to Quu).
+        Rbar = (qp.Rd + reg).at[:, idxbu].add(Du)
 
-        factors = riccati_factor(qp.A, qp.B, Qbar, Rbar, reg=reg)
+        factors = riccati_factor_v(qp.A, qp.B, Qbar, Rbar)
 
         # Equality residuals at the current iterate.
         r_dyn = (
@@ -184,7 +189,7 @@ def solve_box_qp(
             gu = qp.Rd * it.dus + qp.qu
             gu = gu.at[:, idxbu].add(le_uu - le_ul)
 
-            ddxs, ddus = riccati_solve(
+            ddxs, ddus = riccati_solve_v(
                 factors, qp.A, qp.B, gx, gu, r_dyn, r_init
             )
             dzx = ddxs[1:, idxbx]

@@ -149,3 +149,69 @@ def lqr_solve(A, B, Qd, Rd, qx, qu, c, dx0, reg: float = 0.0):
     """Factor + solve in one call (single-solve convenience)."""
     factors = riccati_factor(A, B, Qd, Rd, reg=reg)
     return riccati_solve(factors, A, B, qx, qu, c, dx0)
+
+
+# --------------------------------------------------------------------------- #
+# vmap-dispatched entry points: under a scenario-batch vmap on TPU these swap
+# in the fused Pallas sweeps (ops/pallas_riccati.py); everywhere else they
+# fall back to vmapping the serial implementations above.
+# --------------------------------------------------------------------------- #
+
+
+def _pallas_ok(nx: int, nu: int, batch: int, dtype) -> bool:
+    import os
+
+    # Opt-in while the fused kernels are being validated end-to-end inside
+    # the IPM (standalone correctness is covered by tests/test_pallas_riccati).
+    if os.environ.get("NMPC_TPU_PALLAS_RICCATI", "0") != "1":
+        return False
+    try:
+        from nmpc_nav_control_tpu.ops import pallas_riccati
+    except ImportError:  # pragma: no cover
+        return False
+    if not pallas_riccati.supported(nx, nu, batch, dtype):
+        return False
+    plat = jax.devices()[0].platform.lower()
+    return "tpu" in plat or "axon" in plat
+
+
+@jax.custom_batching.custom_vmap
+def riccati_factor_v(A, B, Qd, Rd):
+    return riccati_factor(A, B, Qd, Rd)
+
+
+@riccati_factor_v.def_vmap
+def _factor_vmap_rule(axis_size, in_batched, A, B, Qd, Rd):
+    out_batched = RiccatiFactors(Ps=True, Ks=True, Ls=True)
+    if all(jax.tree_util.tree_leaves(in_batched)) and _pallas_ok(
+        A.shape[-1], B.shape[-1], axis_size, A.dtype
+    ):
+        from nmpc_nav_control_tpu.ops.pallas_riccati import riccati_factor_batched
+
+        Ps, Ks, Ls = riccati_factor_batched(A, B, Qd, Rd)
+        return RiccatiFactors(Ps=Ps, Ks=Ks, Ls=Ls), out_batched
+    axes = jax.tree_util.tree_map(lambda b: 0 if b else None, in_batched)
+    out = jax.vmap(riccati_factor, in_axes=tuple(axes))(A, B, Qd, Rd)
+    return out, out_batched
+
+
+@jax.custom_batching.custom_vmap
+def riccati_solve_v(factors, A, B, qx, qu, c, dx0):
+    return riccati_solve(factors, A, B, qx, qu, c, dx0)
+
+
+@riccati_solve_v.def_vmap
+def _solve_vmap_rule(axis_size, in_batched, factors, A, B, qx, qu, c, dx0):
+    out_batched = (True, True)
+    if all(jax.tree_util.tree_leaves(in_batched)) and _pallas_ok(
+        A.shape[-1], B.shape[-1], axis_size, A.dtype
+    ):
+        from nmpc_nav_control_tpu.ops.pallas_riccati import riccati_solve_batched
+
+        dxs, dus = riccati_solve_batched(
+            factors.Ps, factors.Ks, factors.Ls, A, B, qx, qu, c, dx0
+        )
+        return (dxs, dus), out_batched
+    axes = jax.tree_util.tree_map(lambda b: 0 if b else None, in_batched)
+    out = jax.vmap(riccati_solve, in_axes=axes)(factors, A, B, qx, qu, c, dx0)
+    return out, out_batched

@@ -40,25 +40,58 @@ class RealTimeExecutor:
 
     def __init__(self, node: NmpcNavControlNode, provider: StateProvider,
                  sink: CommandSink,
-                 on_overrun: Optional[Callable[[float], None]] = None):
+                 on_overrun: Optional[Callable[[float], None]] = None,
+                 use_native_timer: bool = True):
         self.node = node
         self.provider = provider
         self.sink = sink
         self.period = node.config.dt
         self.on_overrun = on_overrun
         self.overruns = 0
+        self._native_timer = None
+        if use_native_timer:
+            from nmpc_nav_control_tpu.runtime import native
+
+            if native.available():
+                self._native_timer = native.RtTimer(self.period)
+
+    def _cycle(self):
+        pose, vel, valid = self.provider.get_state()
+        twist, status = self.node.tick(
+            pose, vel, pose_valid=valid, vel_valid=valid
+        )
+        if twist is not None:
+            self.sink.publish_cmd_vel(twist)
+        self.sink.publish_status(status)
 
     def run(self, cycles: int) -> None:
+        if self._native_timer is not None:
+            self._run_native(cycles)
+        else:
+            self._run_python(cycles)
+
+    def _run_native(self, cycles: int) -> None:
+        """Native absolute-deadline pacing (clock_nanosleep in libnmpc_rt)."""
+        t = self._native_timer
+        overruns0 = t.overruns
+        for _ in range(cycles):
+            self._cycle()
+            late_ns = t.wait()
+            if t.overruns > overruns0:
+                overruns0 = t.overruns
+                self.overruns += 1
+                if self.on_overrun is not None:
+                    self.on_overrun(late_ns * 1e-9)
+
+    def timer_stats(self) -> dict:
+        if self._native_timer is None:
+            return {}
+        return self._native_timer.jitter_stats()
+
+    def _run_python(self, cycles: int) -> None:
         next_deadline = time.perf_counter() + self.period
         for _ in range(cycles):
-            pose, vel, valid = self.provider.get_state()
-            twist, status = self.node.tick(
-                pose, vel, pose_valid=valid, vel_valid=valid
-            )
-            if twist is not None:
-                self.sink.publish_cmd_vel(twist)
-            self.sink.publish_status(status)
-
+            self._cycle()
             now = time.perf_counter()
             if now > next_deadline:
                 self.overruns += 1

@@ -1,0 +1,85 @@
+"""Native runtime (libnmpc_rt) tests: build, timer pacing, SPSC rings."""
+import struct
+import threading
+import time
+
+import pytest
+
+from nmpc_nav_control_tpu.runtime import native
+
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="g++/native runtime unavailable"
+)
+
+
+def test_timer_paces_and_reports_jitter():
+    t = native.RtTimer(0.005)  # 200 Hz
+    t0 = time.perf_counter()
+    for _ in range(40):
+        late = t.wait()
+        assert late >= 0
+    elapsed = time.perf_counter() - t0
+    # 40 cycles at 5 ms = 200 ms nominal; allow generous slack on a busy box.
+    assert 0.18 <= elapsed <= 0.5, elapsed
+    stats = t.jitter_stats()
+    assert stats["p50_ns"] >= 0 and stats["max_ns"] >= stats["p50_ns"]
+
+
+def test_timer_counts_overruns():
+    t = native.RtTimer(0.002)
+    t.wait()
+    time.sleep(0.02)  # blow through several deadlines
+    late = t.wait()
+    assert late > 0
+    assert t.overruns >= 1
+
+
+def test_ring_fifo_and_latest():
+    r = native.SpscRing(record_size=8, capacity_pow2=8)
+    assert r.pop() is None
+    for i in range(5):
+        assert r.push(struct.pack("<d", float(i)), overwrite=False)
+    assert len(r) == 5
+    ts, payload = r.pop()
+    assert struct.unpack("<d", payload)[0] == 0.0
+    assert ts > 0
+    got = r.pop_latest()
+    assert got is not None
+    ts, payload, dropped = got
+    assert struct.unpack("<d", payload)[0] == 4.0
+    assert dropped == 3
+    assert len(r) == 0
+
+
+def test_ring_overwrite_policy():
+    r = native.SpscRing(record_size=8, capacity_pow2=4)
+    for i in range(10):  # overflow a 4-slot ring
+        assert r.push(struct.pack("<d", float(i)))
+    got = r.pop_latest()
+    assert got is not None
+    _, payload, _ = got
+    assert struct.unpack("<d", payload)[0] == 9.0
+
+
+def test_ring_cross_thread_stream():
+    r = native.SpscRing(record_size=8, capacity_pow2=64)
+    n = 2000
+    received = []
+
+    def producer():
+        for i in range(n):
+            # Bounded ring: spin until the consumer frees a slot.
+            while not r.push(struct.pack("<d", float(i)), overwrite=False):
+                time.sleep(0)
+
+    th = threading.Thread(target=producer)
+    th.start()
+    deadline = time.time() + 5.0
+    while len(received) < n and time.time() < deadline:
+        item = r.pop()
+        if item is not None:
+            received.append(struct.unpack("<d", item[1])[0])
+    th.join()
+    assert len(received) == n
+    assert received == sorted(received)  # FIFO order preserved
