@@ -84,7 +84,7 @@ def make_controller(
     dalpha_max: float | None = None,    # radians/s
     q_diag: Sequence[float] = (),
     r_diag: Sequence[float] = (),
-    ipm_iters: int = 12,
+    ipm_iters: int = 8,
     tric_bug_compat: bool = False,
     dtype=jnp.float32,
 ) -> tuple[ControllerSpec, OCPData]:

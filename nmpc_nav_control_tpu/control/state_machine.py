@@ -113,6 +113,11 @@ class TickOutput(NamedTuple):
     path_remains: jnp.ndarray  # [] float
     kkt_res: jnp.ndarray       # [] solver KKT residual
     solve_ok: jnp.ndarray      # [] bool
+    debug_path: jnp.ndarray    # [N+1, 3] discretized reference poses
+                               #   (``pubDebugDiscretizedPath``, ``:722-738``)
+    publish_debug: jnp.ndarray # [] bool — FollowPath ticks only (``:670``)
+    active_path_u: jnp.ndarray # [] fractional u for the actual_path topic
+                               #   (``pubActualPath``, ``:390-399``)
 
 
 def node_init(spec: ControllerSpec, cfg: NavConfig, dtype=jnp.float32) -> NodeState:
@@ -327,5 +332,8 @@ def node_tick(
         path_remains=remains,
         kkt_res=stats.kkt_res,
         solve_ok=solve_ok,
+        debug_path=traj_fp,
+        publish_debug=in_fp & ~fp_unsafe,
+        active_path_u=u_after,
     )
     return new_state, out

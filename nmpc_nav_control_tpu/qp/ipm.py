@@ -135,6 +135,14 @@ def solve_box_qp(
     s_uu, l_uu = init_sl(guu)
     it0 = _Iterate(dxs0, dus0, s_xl, s_xu, s_ul, s_uu, l_xl, l_xu, l_ul, l_uu)
 
+    # f32 robustness floors: fraction-to-boundary keeps s, lam positive in
+    # exact arithmetic, but rounding near active bounds can push them to 0
+    # or below, and the barrier ratios lam/s then overflow/NaN.  HPIPM-style
+    # eps clamps keep every division finite without affecting converged
+    # accuracy (the floors are far below solution tolerances).
+    eps_floor = 1e-11 if dtype == jnp.float64 else 1e-9
+    d_cap = 1e14 if dtype == jnp.float64 else 1e10
+
     n_con = 2 * N * (idxbx.shape[0] + idxbu.shape[0])
 
     def mu_of(it: _Iterate):
@@ -154,9 +162,10 @@ def solve_box_qp(
 
         mu = mu_of(it)
 
-        # Barrier-modified diagonals: D = lam_l/s_l + lam_u/s_u on bound indices.
-        Dx = it.l_xl / it.s_xl + it.l_xu / it.s_xu        # [N, nbx]
-        Du = it.l_ul / it.s_ul + it.l_uu / it.s_uu        # [N, nbu]
+        # Barrier-modified diagonals: D = lam_l/s_l + lam_u/s_u on bound
+        # indices, capped for f32 safety.
+        Dx = jnp.minimum(it.l_xl / it.s_xl + it.l_xu / it.s_xu, d_cap)
+        Du = jnp.minimum(it.l_ul / it.s_ul + it.l_uu / it.s_uu, d_cap)
         Qbar = qp.Qd.at[1:, idxbx].add(Dx)
         # reg folds into the R diagonal (identical to adding it to Quu).
         Rbar = (qp.Rd + reg).at[:, idxbu].add(Du)
@@ -252,21 +261,33 @@ def solve_box_qp(
         alpha = step_len(d)
 
         (ddxs, ddus, ds_xl, ds_xu, ds_ul, ds_uu, dl_xl, dl_xu, dl_ul, dl_uu) = d
+
+        def pos(v):
+            return jnp.maximum(v, eps_floor)
+
         new = _Iterate(
             dxs=it.dxs + alpha * ddxs,
             dus=it.dus + alpha * ddus,
-            s_xl=it.s_xl + alpha * ds_xl,
-            s_xu=it.s_xu + alpha * ds_xu,
-            s_ul=it.s_ul + alpha * ds_ul,
-            s_uu=it.s_uu + alpha * ds_uu,
-            l_xl=it.l_xl + alpha * dl_xl,
-            l_xu=it.l_xu + alpha * dl_xu,
-            l_ul=it.l_ul + alpha * dl_ul,
-            l_uu=it.l_uu + alpha * dl_uu,
+            s_xl=pos(it.s_xl + alpha * ds_xl),
+            s_xu=pos(it.s_xu + alpha * ds_xu),
+            s_ul=pos(it.s_ul + alpha * ds_ul),
+            s_uu=pos(it.s_uu + alpha * ds_uu),
+            l_xl=pos(it.l_xl + alpha * dl_xl),
+            l_xu=pos(it.l_xu + alpha * dl_xu),
+            l_ul=pos(it.l_ul + alpha * dl_ul),
+            l_uu=pos(it.l_uu + alpha * dl_uu),
         )
-        # Converged lanes stop stepping: prevents slack underflow (-> NaN)
-        # when the fixed iteration budget exceeds what this lane needed.
-        frozen = mu < mu_min
+        # Converged lanes stop stepping (prevents slack underflow when the
+        # fixed iteration budget exceeds what this lane needed), and
+        # non-finite steps are rejected outright (f32 cancellation in the
+        # extreme-barrier Riccati recursion can destroy a step near
+        # convergence; keeping the last good iterate is the standard
+        # robust-IPM safeguard).
+        step_bad = ~jnp.all(
+            jnp.stack([jnp.all(jnp.isfinite(leaf))
+                       for leaf in jax.tree_util.tree_leaves(new)])
+        )
+        frozen = (mu < mu_min) | step_bad
         new = jax.tree_util.tree_map(
             lambda old, upd: jnp.where(frozen, old, upd), it, new
         )

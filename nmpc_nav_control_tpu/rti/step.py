@@ -45,7 +45,7 @@ class RTIConfig:
     """Static RTI solver configuration."""
 
     dims: OCPDims
-    ipm_iters: int = 12
+    ipm_iters: int = 8
     adaptive_terminal_weight: bool = False  # the diff-only x100 pose-weight hack
     adaptive_terminal_scale: float = 100.0
     ipm_reg: float = 1e-8

@@ -52,9 +52,13 @@ class NmpcNavControlNode:
     """Single-robot host controller (the batched/fleet path uses
     ``control.state_machine.node_tick`` under ``vmap`` directly)."""
 
-    def __init__(self, config: RobotConfig, dtype=jnp.float32):
+    def __init__(self, config: RobotConfig, dtype=jnp.float32,
+                 debug_outputs: bool = False):
         self.config = config
         self.dtype = dtype
+        self.debug_outputs = debug_outputs
+        self.last_debug_path = None      # [N+1, 3] poses (pubDebugDiscretizedPath)
+        self.last_actual_path_u = 0.0    # AuxNum0 of the actual_path topic
         self.frames = FrameTable()
         self.spec, self.data = make_controller(
             config.steering_geometry,
@@ -155,6 +159,13 @@ class NmpcNavControlNode:
             request_id=int(out.request_id),
             path_remains=float(out.path_remains),
         )
+        if self.debug_outputs:
+            # debug_discretized_path + actual_path payloads
+            # (``pubDebugDiscretizedPath`` ``:722-738``, ``pubActualPath`` ``:390-399``).
+            self.last_debug_path = (
+                np.asarray(out.debug_path) if bool(out.publish_debug) else None
+            )
+            self.last_actual_path_u = float(out.active_path_u)
         self._cycle_times.append(time.perf_counter() - t0)
         self._solver_kkt.append(float(out.kkt_res))
         return twist, status
