@@ -30,7 +30,7 @@ from nmpc_nav_control_tpu.control.state_machine import (
 from nmpc_nav_control_tpu.models import diff
 from nmpc_nav_control_tpu.ocp.integrator import rk4_step
 from nmpc_nav_control_tpu.paths import make_line_segment
-from nmpc_nav_control_tpu.utils import dist
+from nmpc_nav_control_tpu.utils import dist, norm_ang_rad
 
 DT = 0.025
 N = 40
@@ -236,3 +236,32 @@ def test_batched_mixed_status_ticks():
     ]
     # Idle lane publishes nothing; the others publish.
     assert [bool(x) for x in out.publish_cmd] == [False, True, True]
+
+
+def test_follow_path_reverse_driving():
+    """A negative-velocity segment: theta references get +pi (reverse
+    driving, ``PathDiscretizer.cpp:81-82`` + ``NMPCNavControlROS.cpp:655``)
+    and the robot backs up along the path."""
+    spec, data, cfg = _make_diff()
+    state = node_init(spec, cfg, DTYPE)
+    # Path heading points +x but nominal velocity is negative: robot (facing
+    # +x at the path start's reversed heading pi... the reference convention:
+    # the robot drives backwards along -x? No: segment from (0,0) to (-1,0)
+    # traversed with negative velocity means the tangent heading is pi, the
+    # reversed reference heading is 0 — the robot faces +x and backs up
+    # toward (-1, 0).
+    segs = [make_line_segment((0, 0), (-1.0, 0), velocity=-0.4, frame_id=1)]
+    state = on_path_set(state, cfg, _segs_to_padded(segs, cfg.path_capacity), 1)
+
+    tick = jax.jit(lambda s, m: node_tick(spec, data, cfg, s, m))
+    plant = jnp.zeros(5, DTYPE)
+    for t in range(700):
+        state, out = tick(state, _measure(plant))
+        plant = _plant_step(plant, out.cmd)
+        if int(state.status) == IDLE:
+            break
+        assert int(state.status) == FOLLOW_PATH, f"status {int(state.status)} at {t}"
+    p = np.asarray(plant)
+    # Drove backwards (negative x), heading stayed near 0 (never flipped).
+    assert p[0] < -0.8, f"did not back up: x={p[0]}"
+    assert abs(float(norm_ang_rad(jnp.asarray(p[2])))) < 0.3
