@@ -12,6 +12,10 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
@@ -49,7 +53,7 @@ def main():
     node.on_path_no_stack_up_2(ParametricPathSet2(paths=[
         ParametricPath(frame_id="map", cx=[0.0, 1.0], cy=[0.0, 0.0],
                        velocity=0.5),
-        ParametricPath(frame_id="map", cx=[1.0, 1.0, 0.0], cy=[0.0, 0.3, 0.3],
+        ParametricPath(frame_id="map", cx=[1.0, 1.0, 0.0], cy=[0.0, 0.0, 0.3],
                        velocity=0.5),
     ], request_id=1))
 

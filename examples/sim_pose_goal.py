@@ -11,6 +11,10 @@ from __future__ import annotations
 
 import argparse
 import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
@@ -53,6 +57,7 @@ def build(geometry: str, dtype, N):
 
 
 def main():
+    global N
     ap = argparse.ArgumentParser()
     ap.add_argument("geometry", nargs="?", default="diff",
                     choices=["diff", "omni4", "tric"])
@@ -64,7 +69,6 @@ def main():
     ap.add_argument("--plot", action="store_true")
     args = ap.parse_args()
 
-    global N
     N = args.horizon
     dtype = jnp.float32
     spec, data = build(args.geometry, dtype, N)

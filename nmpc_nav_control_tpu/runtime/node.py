@@ -136,6 +136,9 @@ class NmpcNavControlNode:
             steer_valid=jnp.asarray(bool(steer_valid)),
         )
         self.state, out = self._tick(self.state, meas)
+        # Pull every host-needed output in ONE batched device->host transfer;
+        # per-field float() would pay a tunnel round-trip each.
+        out = jax.device_get(out)
 
         publish = bool(out.publish_cmd)
         twist: Optional[Twist] = None
