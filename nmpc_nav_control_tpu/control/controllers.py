@@ -84,6 +84,7 @@ def make_controller(
     dalpha_max: float | None = None,    # radians/s
     q_diag: Sequence[float] = (),
     r_diag: Sequence[float] = (),
+    qn_diag: Sequence[float] | None = None,
     ipm_iters: int = 8,
     tric_bug_compat: bool = False,
     dtype=jnp.float32,
@@ -130,6 +131,12 @@ def make_controller(
     r = jnp.asarray(r_diag, dtype)
     assert q.shape == (nx,), f"q_diag must have {nx} entries"
     assert r.shape == (nu,), f"r_diag must have {nu} entries"
+    # Terminal weight: the reference *runtime* overrides W_e with the runtime
+    # Q diagonal (``NMPCNavControlDiff.cpp:34-42``); a distinct QN_diag exists
+    # only in the offline codegen schema (``scripts/*/common.py``) — honored
+    # here when given so offline-style builds match the generated solvers.
+    qe = q if qn_diag is None else jnp.asarray(qn_diag, dtype)
+    assert qe.shape == (nx,), f"qn_diag must have {nx} entries"
 
     dims = OCPDims(model=model, N=N, dt=dt)
     spec = ControllerSpec(
@@ -143,7 +150,7 @@ def make_controller(
     data = OCPData(
         p=p, lbx=lbx, ubx=ubx, lbu=lbu, ubu=ubu,
         q_diag=q, r_diag=r,
-        qe_diag=q,  # runtime W_e := runtime Q (reference ctor override)
+        qe_diag=qe,
     )
     return spec, data
 

@@ -11,6 +11,11 @@ from nmpc_nav_control_tpu.runtime.messages import (
     Twist,
     decode_path_set,
 )
+from nmpc_nav_control_tpu.runtime.models_config import (
+    controller_from_models_params,
+    load_models_config,
+    prepare_solvers,
+)
 from nmpc_nav_control_tpu.runtime.node import NmpcNavControlNode
 
 __all__ = [
@@ -25,7 +30,10 @@ __all__ = [
     "RealTimeExecutor",
     "RobotConfig",
     "Twist",
+    "controller_from_models_params",
     "decode_path_set",
     "from_dict",
     "load_config",
+    "load_models_config",
+    "prepare_solvers",
 ]

@@ -75,6 +75,11 @@ class NmpcNavControlNode:
         self._steer_angle = 0.0
         self._cycle_times: List[float] = []
         self._solver_kkt: List[float] = []
+        # Raw controller command from the last tick, pre Twist-encoding:
+        # (v, vn, w) — for tric, w is alpha_ref (the Twist carries the
+        # *measured* angle per the reference quirk). None until a tick
+        # publishes.
+        self.last_cmd: Optional[tuple] = None
 
     # ------------------------------------------------------------------ #
     # Callbacks (subscriber equivalents)
@@ -146,6 +151,7 @@ class NmpcNavControlNode:
             v = float(out.cmd.v)
             vn = float(out.cmd.vn)
             w = float(out.cmd.w)
+            self.last_cmd = (v, vn, w)
             if self.spec.geometry == "tric":
                 # Reference quirk: cmd_vel.angular.z carries the MEASURED
                 # steering angle, not alpha_ref — even when stopping
