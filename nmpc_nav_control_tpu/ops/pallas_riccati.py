@@ -36,7 +36,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["BT", "riccati_factor_batched", "riccati_solve_batched", "supported"]
+__all__ = [
+    "BT",
+    "riccati_factor_batched",
+    "riccati_solve_batched",
+    "riccati_factor_c_tiled",
+    "riccati_solve_bwd_tiled",
+    "riccati_solve_fwd_tiled",
+    "supported",
+    "to_tiles",
+    "from_tiles",
+]
 
 BT = 1024          # batch lanes per grid step: 8 sublanes x 128 lanes
 _SB = 8
@@ -50,6 +60,16 @@ def supported(nx: int, nu: int, batch: int, dtype) -> bool:
 # --------------------------------------------------------------------------- #
 # Layout helpers: [B, N, n, m] <-> [B/BT, N, n*m, 8, 128]
 # --------------------------------------------------------------------------- #
+
+
+def to_tiles(x, entry_dims):
+    """Public alias of :func:`_to_tiles` for the tiled-IPM path."""
+    return _to_tiles(x, entry_dims)
+
+
+def from_tiles(x, entry_dims):
+    """Public alias of :func:`_from_tiles` for the tiled-IPM path."""
+    return _from_tiles(x, entry_dims)
 
 
 def _to_tiles(x, entry_dims):
@@ -428,3 +448,252 @@ def riccati_solve_batched(Ps, Ks, Ls, A, B, qx, qu, c, dx0):
     )
     dxs = jnp.concatenate([dxs_head, dx_N[:, None]], axis=1)
     return dxs, dus
+
+
+# --------------------------------------------------------------------------- #
+# Tiled-layout kernels for the fused IPM path (qp/ipm_tiled.py)
+#
+# Same sweeps as above, but (a) operands arrive and leave in the tiled
+# [G, N(+1), e, 8, 128] layout so nothing is re-transposed between IPM
+# iterations, and (b) the factor kernel consumes the dynamics residual c_k
+# and emits Pc_k = P_{k+1} @ c_k ([nx] per stage) instead of the full
+# P_{k+1} ([nx, nx]) — the vector backward solve only ever uses P through
+# that product, and dropping Ps removes the largest HBM tensor from the
+# per-iteration traffic.
+# --------------------------------------------------------------------------- #
+
+
+def _factor_c_kernel(nx, nu, N, reg,
+                     A_ref, B_ref, Qd_ref, Rd_ref, QdN_ref, c_ref,
+                     Ks_ref, Ls_ref, Pc_ref, P_scr):
+    kk = pl.program_id(1)  # stage k = N-1-kk (backward)
+
+    @pl.when(kk == 0)
+    def _init():
+        for i in range(nx):
+            for j in range(nx):
+                if i == j:
+                    P_scr[i * nx + j] = QdN_ref[0, 0, i]
+                else:
+                    P_scr[i * nx + j] = jnp.zeros_like(QdN_ref[0, 0, 0])
+
+    A = [[A_ref[0, 0, i * nx + j] for j in range(nx)] for i in range(nx)]
+    Bm = [[B_ref[0, 0, i * nu + j] for j in range(nu)] for i in range(nx)]
+    P = [[P_scr[i * nx + j] for j in range(nx)] for i in range(nx)]
+    c = [c_ref[0, 0, i] for i in range(nx)]
+
+    # Pc = P_{k+1} @ c_k with the INCOMING carry.
+    for i in range(nx):
+        Pc_ref[0, 0, i] = sum(P[i][m] * c[m] for m in range(nx))
+
+    PA = [[sum(P[i][m] * A[m][j] for m in range(nx)) for j in range(nx)]
+          for i in range(nx)]
+    PB = [[sum(P[i][m] * Bm[m][j] for m in range(nx)) for j in range(nu)]
+          for i in range(nx)]
+
+    Quu = {}
+    for i in range(nu):
+        for j in range(i + 1):
+            s = sum(Bm[m][i] * PB[m][j] for m in range(nx))
+            if i == j:
+                s = s + Rd_ref[0, 0, i] + reg
+            Quu[(i, j)] = s
+    Qux = [[sum(Bm[m][i] * PA[m][j] for m in range(nx)) for j in range(nx)]
+           for i in range(nu)]
+
+    L = {}
+    for i in range(nu):
+        for j in range(i + 1):
+            s = Quu[(i, j)]
+            for k in range(j):
+                s = s - L[(i, k)] * L[(j, k)]
+            if i == j:
+                L[(i, j)] = jnp.sqrt(s)
+            else:
+                L[(i, j)] = s / L[(j, j)]
+
+    rhs_cols = [[Qux[i][j] for i in range(nu)] for j in range(nx)]
+    Kcols = _chol_solve_entries(L, rhs_cols, nu)
+    K = [[-Kcols[j][i] for j in range(nx)] for i in range(nu)]
+
+    for i in range(nx):
+        for j in range(i + 1):
+            s = sum(A[m][i] * PA[m][j] for m in range(nx))
+            s = s + sum(Qux[m][i] * K[m][j] for m in range(nu))
+            s2 = sum(A[m][j] * PA[m][i] for m in range(nx))
+            s2 = s2 + sum(Qux[m][j] * K[m][i] for m in range(nu))
+            val = 0.5 * (s + s2)
+            if i == j:
+                val = val + Qd_ref[0, 0, i]
+            P_scr[i * nx + j] = val
+            if i != j:
+                P_scr[j * nx + i] = val
+
+    for i in range(nu):
+        for j in range(nx):
+            Ks_ref[0, 0, i * nx + j] = K[i][j]
+    idx = 0
+    for i in range(nu):
+        for j in range(i + 1):
+            Ls_ref[0, 0, idx] = L[(i, j)]
+            idx += 1
+
+
+def riccati_factor_c_tiled(At, Bt, Qdt, Rdt, ct, nx, nu, reg: float = 0.0):
+    """Fused factorization, tiled in/out.
+
+    At:  [G, N, nx*nx, 8, 128]; Bt: [G, N, nx*nu, 8, 128]
+    Qdt: [G, N+1, nx, 8, 128] (row N = terminal); Rdt: [G, N, nu, 8, 128]
+    ct:  [G, N, nx, 8, 128] dynamics residuals.
+    Returns (Kt [G,N,nu*nx,...], Lt [G,N,ntri,...], Pct [G,N,nx,...]).
+    """
+    G, N = At.shape[0], At.shape[1]
+    ntri = nu * (nu + 1) // 2
+    dtype = At.dtype
+
+    def rev(b, k):
+        return (b, N - 1 - k, 0, 0, 0)
+
+    def rowN(b, k):
+        return (b, N, 0, 0, 0)
+
+    kernel = functools.partial(_factor_c_kernel, nx, nu, N, reg)
+    Kt, Lt, Pct = pl.pallas_call(
+        kernel,
+        grid=(G, N),
+        in_specs=[
+            pl.BlockSpec((1, 1, nx * nx, _SB, 128), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nx * nu, _SB, 128), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nx, _SB, 128), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nu, _SB, 128), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nx, _SB, 128), rowN, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nx, _SB, 128), rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, nu * nx, _SB, 128), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ntri, _SB, 128), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nx, _SB, 128), rev, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, N, nu * nx, _SB, 128), dtype),
+            jax.ShapeDtypeStruct((G, N, ntri, _SB, 128), dtype),
+            jax.ShapeDtypeStruct((G, N, nx, _SB, 128), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((nx * nx, _SB, 128), dtype)],
+    )(At, Bt, Qdt, Rdt, Qdt, ct)
+    return Kt, Lt, Pct
+
+
+def _solve_bwd_c_kernel(nx, nu, N,
+                        A_ref, B_ref, K_ref, L_ref, Pc_ref,
+                        qx_ref, qu_ref, qxN_ref,
+                        kff_ref, p_scr):
+    kk = pl.program_id(1)
+
+    @pl.when(kk == 0)
+    def _init():
+        for i in range(nx):
+            p_scr[i] = qxN_ref[0, 0, i]
+
+    A = [[A_ref[0, 0, i * nx + j] for j in range(nx)] for i in range(nx)]
+    Bm = [[B_ref[0, 0, i * nu + j] for j in range(nu)] for i in range(nx)]
+    K = [[K_ref[0, 0, i * nx + j] for j in range(nx)] for i in range(nu)]
+    p = [p_scr[i] for i in range(nx)]
+
+    # tmp = p + P_{k+1} c_k, with the product precomputed by the factor pass.
+    tmp = [p[i] + Pc_ref[0, 0, i] for i in range(nx)]
+    qu_bar = [qu_ref[0, 0, i] + sum(Bm[m][i] * tmp[m] for m in range(nx))
+              for i in range(nu)]
+    L = {}
+    idx = 0
+    for i in range(nu):
+        for j in range(i + 1):
+            L[(i, j)] = L_ref[0, 0, idx]
+            idx += 1
+    sol = _chol_solve_entries(L, [qu_bar], nu)[0]
+    for i in range(nx):
+        p_scr[i] = (qx_ref[0, 0, i]
+                    + sum(A[m][i] * tmp[m] for m in range(nx))
+                    + sum(K[m][i] * qu_bar[m] for m in range(nu)))
+    for i in range(nu):
+        kff_ref[0, 0, i] = -sol[i]
+
+
+def riccati_solve_bwd_tiled(At, Bt, Kt, Lt, Pct, qxt, qut, nx, nu):
+    """Backward vector recursion, tiled in/out.
+
+    qxt: [G, N+1, nx, 8, 128] (row N = terminal gradient).
+    Returns kfft [G, N, nu, 8, 128].
+    """
+    G, N = At.shape[0], At.shape[1]
+    ntri = nu * (nu + 1) // 2
+    dtype = At.dtype
+
+    def rev(b, k):
+        return (b, N - 1 - k, 0, 0, 0)
+
+    def rowN(b, k):
+        return (b, N, 0, 0, 0)
+
+    bwd = functools.partial(_solve_bwd_c_kernel, nx, nu, N)
+    (kfft,) = pl.pallas_call(
+        bwd,
+        grid=(G, N),
+        in_specs=[
+            pl.BlockSpec((1, 1, nx * nx, _SB, 128), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nx * nu, _SB, 128), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nu * nx, _SB, 128), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ntri, _SB, 128), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nx, _SB, 128), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nx, _SB, 128), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nu, _SB, 128), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nx, _SB, 128), rowN, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, nu, _SB, 128), rev, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((G, N, nu, _SB, 128), dtype)],
+        scratch_shapes=[pltpu.VMEM((nx, _SB, 128), dtype)],
+    )(At, Bt, Kt, Lt, Pct, qxt, qut, qxt)
+    return kfft
+
+
+def riccati_solve_fwd_tiled(At, Bt, Kt, kfft, ct, dx0t, nx, nu):
+    """Forward rollout, tiled in/out.
+
+    dx0t: [G, 1, nx, 8, 128].
+    Returns (dxst [G, N, nx, 8, 128] = dx_0..dx_{N-1}, dust [G, N, nu, 8, 128]).
+    The caller computes dx_N from the last stage (one tiled matvec).
+    """
+    G, N = At.shape[0], At.shape[1]
+    dtype = At.dtype
+
+    def fwd_map(b, k):
+        return (b, k, 0, 0, 0)
+
+    def fix0(b, k):
+        return (b, 0, 0, 0, 0)
+
+    fwd = functools.partial(_solve_fwd_kernel, nx, nu, N)
+    dxst, dust = pl.pallas_call(
+        fwd,
+        grid=(G, N),
+        in_specs=[
+            pl.BlockSpec((1, 1, nx * nx, _SB, 128), fwd_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nx * nu, _SB, 128), fwd_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nu * nx, _SB, 128), fwd_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nu, _SB, 128), fwd_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nx, _SB, 128), fwd_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nx, _SB, 128), fix0, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, nx, _SB, 128), fwd_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nu, _SB, 128), fwd_map, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, N, nx, _SB, 128), dtype),
+            jax.ShapeDtypeStruct((G, N, nu, _SB, 128), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((nx, _SB, 128), dtype)],
+    )(At, Bt, Kt, kfft, ct, dx0t)
+    return dxst, dust

@@ -94,7 +94,6 @@ def _ftb_alpha(v, dv, tau):
     return jnp.minimum(1.0, tau * jnp.min(ratio))
 
 
-@_highest_precision
 def solve_box_qp(
     qp: BoxQP,
     idxbx,
@@ -109,8 +108,94 @@ def solve_box_qp(
     """Solve the stagewise box QP. ``idxbx``/``idxbu`` are static index tuples.
 
     Fixed ``iters`` Mehrotra iterations; one Riccati factorization and two
-    vector solves per iteration.
+    vector solves per iteration.  Under a full scenario-batch ``vmap`` on TPU
+    this dispatches to the tiled-layout batched implementation
+    (``qp/ipm_tiled.py``); everywhere else the per-problem path below runs
+    (vmapped when batched).
     """
+    solver = _make_solver(
+        tuple(int(i) for i in idxbx),
+        tuple(int(i) for i in idxbu),
+        int(iters), float(tau), float(mu0), float(s_min), float(reg),
+        None if mu_min is None else float(mu_min),
+    )
+    return solver(qp)
+
+
+def _make_solver(idxbx, idxbu, iters, tau, mu0, s_min, reg, mu_min):
+    import functools
+
+    key = (idxbx, idxbu, iters, tau, mu0, s_min, reg, mu_min)
+    cached = _SOLVER_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    serial = functools.partial(
+        _solve_box_qp_serial,
+        idxbx=idxbx, idxbu=idxbu, iters=iters, tau=tau, mu0=mu0,
+        s_min=s_min, reg=reg, mu_min=mu_min,
+    )
+
+    @jax.custom_batching.custom_vmap
+    def solve(qp: BoxQP) -> IPMSolution:
+        return serial(qp)
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, qp):
+        out_batched = IPMSolution(*([True] * len(IPMSolution._fields)))
+        qp_batched = in_batched[0]
+        nx, nu = qp.B.shape[-2], qp.B.shape[-1]
+        if _tiled_ipm_ok(nx, nu, axis_size, qp.A.dtype):
+            from nmpc_nav_control_tpu.qp.ipm_tiled import solve_box_qp_tiled
+
+            # Broadcast any lane-constant leaves (e.g. an unbatched Rd when
+            # the cost diagonals are closed over): the tiled layout wants a
+            # full batch axis on everything.
+            qp_full = jax.tree_util.tree_map(
+                lambda x, b: x if b else jnp.broadcast_to(
+                    x, (axis_size,) + x.shape
+                ),
+                qp, qp_batched,
+            )
+            sol = solve_box_qp_tiled(
+                qp_full, idxbx, idxbu, iters=iters, tau=tau, mu0=mu0,
+                s_min=s_min, reg=reg, mu_min=mu_min,
+            )
+            return sol, out_batched
+        axes = jax.tree_util.tree_map(lambda b: 0 if b else None, qp_batched)
+        out = jax.vmap(serial, in_axes=(axes,))(qp)
+        return out, out_batched
+
+    _SOLVER_CACHE[key] = solve
+    return solve
+
+
+_SOLVER_CACHE: dict = {}
+
+
+def _tiled_ipm_ok(nx: int, nu: int, batch: int, dtype) -> bool:
+    import os
+
+    if os.environ.get("NMPC_TPU_TILED_IPM", "1") != "1":
+        return False
+    from nmpc_nav_control_tpu.qp.riccati import _pallas_ok
+
+    return _pallas_ok(nx, nu, batch, dtype)
+
+
+@_highest_precision
+def _solve_box_qp_serial(
+    qp: BoxQP,
+    idxbx,
+    idxbu,
+    iters: int = 12,
+    tau: float = 0.995,
+    mu0: float = 1e-1,
+    s_min: float = 1e-2,
+    reg: float = 1e-8,
+    mu_min: float | None = None,
+) -> IPMSolution:
+    """Single-problem reference implementation (see module docstring)."""
     idxbx = jnp.asarray(idxbx)
     idxbu = jnp.asarray(idxbu)
     N, nx, nu = qp.B.shape
