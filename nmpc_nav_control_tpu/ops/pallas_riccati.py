@@ -52,6 +52,24 @@ BT = 1024          # batch lanes per grid step: 8 sublanes x 128 lanes
 _SB = 8
 
 
+def interpret_mode() -> bool:
+    """True when kernels should run in Pallas interpret mode (CPU testing).
+
+    Set ``NMPC_TPU_PALLAS_INTERPRET=1`` to execute every kernel in this
+    module with ``interpret=True`` — bit-for-bit the same program, evaluated
+    by the Pallas interpreter instead of Mosaic, so the CPU CI suite can
+    cover the TPU kernel paths (tests/test_pallas_riccati.py,
+    tests/test_qp.py::*tiled*).
+    """
+    import os
+
+    return os.environ.get("NMPC_TPU_PALLAS_INTERPRET", "0") == "1"
+
+
+def _pallas_call(*args, **kwargs):
+    return pl.pallas_call(*args, interpret=interpret_mode(), **kwargs)
+
+
 def supported(nx: int, nu: int, batch: int, dtype) -> bool:
     """Kernel applicability: f32, batch divisible by the tile."""
     return dtype == jnp.float32 and batch % BT == 0 and nx <= 12 and nu <= 6
@@ -238,7 +256,7 @@ def riccati_factor_batched(A, B, Qd, Rd, reg: float = 0.0):
         jax.ShapeDtypeStruct((G, N, nu * nx, _SB, 128), A.dtype),
         jax.ShapeDtypeStruct((G, N, ntri, _SB, 128), A.dtype),
     ]
-    Pst, Kst, Lst = pl.pallas_call(
+    Pst, Kst, Lst = _pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -386,7 +404,7 @@ def riccati_solve_batched(Ps, Ks, Ls, A, B, qx, qu, c, dx0):
         return (b, 0, 0, 0, 0)
 
     bwd = functools.partial(_solve_bwd_kernel, nx, nu, N)
-    (kfft,) = pl.pallas_call(
+    (kfft,) = _pallas_call(
         bwd,
         grid=(G, N),
         in_specs=[
@@ -416,7 +434,7 @@ def riccati_solve_batched(Ps, Ks, Ls, A, B, qx, qu, c, dx0):
         return (b, 0, 0, 0, 0)
 
     fwd = functools.partial(_solve_fwd_kernel, nx, nu, N)
-    dxst, dust = pl.pallas_call(
+    dxst, dust = _pallas_call(
         fwd,
         grid=(G, N),
         in_specs=[
@@ -558,7 +576,7 @@ def riccati_factor_c_tiled(At, Bt, Qdt, Rdt, ct, nx, nu, reg: float = 0.0):
         return (b, N, 0, 0, 0)
 
     kernel = functools.partial(_factor_c_kernel, nx, nu, N, reg)
-    Kt, Lt, Pct = pl.pallas_call(
+    Kt, Lt, Pct = _pallas_call(
         kernel,
         grid=(G, N),
         in_specs=[
@@ -636,7 +654,7 @@ def riccati_solve_bwd_tiled(At, Bt, Kt, Lt, Pct, qxt, qut, nx, nu):
         return (b, N, 0, 0, 0)
 
     bwd = functools.partial(_solve_bwd_c_kernel, nx, nu, N)
-    (kfft,) = pl.pallas_call(
+    (kfft,) = _pallas_call(
         bwd,
         grid=(G, N),
         in_specs=[
@@ -675,7 +693,7 @@ def riccati_solve_fwd_tiled(At, Bt, Kt, kfft, ct, dx0t, nx, nu):
         return (b, 0, 0, 0, 0)
 
     fwd = functools.partial(_solve_fwd_kernel, nx, nu, N)
-    dxst, dust = pl.pallas_call(
+    dxst, dust = _pallas_call(
         fwd,
         grid=(G, N),
         in_specs=[

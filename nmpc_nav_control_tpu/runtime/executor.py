@@ -12,6 +12,7 @@ from typing import Callable, Optional, Protocol
 
 from nmpc_nav_control_tpu.runtime.messages import ControlStatus, Twist
 from nmpc_nav_control_tpu.runtime.node import NmpcNavControlNode
+from nmpc_nav_control_tpu.utils.profiling import LatencyStats
 
 __all__ = ["StateProvider", "CommandSink", "RealTimeExecutor"]
 
@@ -48,6 +49,9 @@ class RealTimeExecutor:
         self.period = node.config.dt
         self.on_overrun = on_overrun
         self.overruns = 0
+        # Whole-cycle latency vs the tick budget (the ros::WallTime analog,
+        # NMPCNavControlROS.cpp:510-513, with p50/p99 instead of raw logs).
+        self.latency = LatencyStats(budget_s=self.period, max_samples=1 << 20)
         self._native_timer = None
         if use_native_timer:
             from nmpc_nav_control_tpu.runtime import native
@@ -56,13 +60,14 @@ class RealTimeExecutor:
                 self._native_timer = native.RtTimer(self.period)
 
     def _cycle(self):
-        pose, vel, valid = self.provider.get_state()
-        twist, status = self.node.tick(
-            pose, vel, pose_valid=valid, vel_valid=valid
-        )
-        if twist is not None:
-            self.sink.publish_cmd_vel(twist)
-        self.sink.publish_status(status)
+        with self.latency.measure():
+            pose, vel, valid = self.provider.get_state()
+            twist, status = self.node.tick(
+                pose, vel, pose_valid=valid, vel_valid=valid
+            )
+            if twist is not None:
+                self.sink.publish_cmd_vel(twist)
+            self.sink.publish_status(status)
 
     def run(self, cycles: int) -> None:
         if self._native_timer is not None:
@@ -87,6 +92,10 @@ class RealTimeExecutor:
         if self._native_timer is None:
             return {}
         return self._native_timer.jitter_stats()
+
+    def latency_stats(self) -> dict:
+        """p50/p99/max cycle latency (ms) vs the tick budget."""
+        return self.latency.summary()
 
     def _run_python(self, cycles: int) -> None:
         next_deadline = time.perf_counter() + self.period

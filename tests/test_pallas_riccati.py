@@ -1,9 +1,8 @@
 """Fused Pallas Riccati kernels vs the XLA reference path.
 
-These run only on TPU (the kernels are Mosaic-only); the CPU CI suite skips
-them.  On-hardware verification for round 1 was driven manually (see
-SKILL.md verify recipes); keeping the asserts here lets any TPU-attached
-session run them directly:
+On CPU CI these run through the Pallas interpreter
+(``NMPC_TPU_PALLAS_INTERPRET=1`` — same program, no Mosaic); on a
+TPU-attached session they exercise the compiled kernels directly:
 
     JAX_PLATFORMS=tpu pytest tests/test_pallas_riccati.py
 """
@@ -19,7 +18,10 @@ def _on_tpu():
     return "tpu" in plat or "axon" in plat
 
 
-pytestmark = pytest.mark.skipif(not _on_tpu(), reason="TPU-only kernels")
+@pytest.fixture(autouse=True)
+def _interpret_on_cpu(monkeypatch):
+    if not _on_tpu():
+        monkeypatch.setenv("NMPC_TPU_PALLAS_INTERPRET", "1")
 
 
 @pytest.mark.parametrize("nx,nu", [(7, 2), (11, 4)])

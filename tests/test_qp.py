@@ -236,3 +236,71 @@ def test_ipm_respects_bounds_and_dynamics():
         np.testing.assert_allclose(
             dxs[k + 1], A[k] @ dxs[k] + B[k] @ dus[k] + c[k], atol=1e-7
         )
+
+
+def test_tiled_ipm_matches_serial_batched(monkeypatch):
+    """The tiled-layout batched IPM (qp/ipm_tiled.py + the tiled Pallas
+    kernels, run through the Pallas interpreter on CPU) must reproduce the
+    serial per-problem path lane for lane."""
+    import nmpc_nav_control_tpu.qp.ipm as ipm_mod
+    import nmpc_nav_control_tpu.qp.ipm_tiled as tiled_mod
+    from nmpc_nav_control_tpu.ops.pallas_riccati import BT
+    import jax
+
+    monkeypatch.setenv("NMPC_TPU_PALLAS_INTERPRET", "1")
+
+    B, N, nx, nu = BT, 6, 7, 2
+    idxbx, idxbu = (5, 6), (0, 1)
+    rng = np.random.default_rng(42)
+    dtype = np.float32
+    A = np.asarray(rng.normal(size=(B, N, nx, nx)) * 0.2 + np.eye(nx) * 0.95, dtype)
+    Bm = np.asarray(rng.normal(size=(B, N, nx, nu)) * 0.4, dtype)
+    c = np.asarray(rng.normal(size=(B, N, nx)) * 0.05, dtype)
+    Qd = np.asarray(rng.uniform(0.5, 2.0, size=(B, N + 1, nx)), dtype)
+    Rd = np.asarray(rng.uniform(0.5, 2.0, size=(B, N, nu)), dtype)
+    qx = np.asarray(rng.normal(size=(B, N + 1, nx)) * 0.5, dtype)
+    qu = np.asarray(rng.normal(size=(B, N, nu)) * 0.5, dtype)
+    dx0 = np.asarray(rng.normal(size=(B, nx)) * 0.1, dtype)
+    lbx = np.full((B, N, len(idxbx)), -1.0, dtype)
+    ubx = -lbx
+    lbu = np.full((B, N, len(idxbu)), -2.0, dtype)
+    ubu = -lbu
+
+    qp = BoxQP(
+        A=jnp.asarray(A), B=jnp.asarray(Bm), c=jnp.asarray(c),
+        Qd=jnp.asarray(Qd), qx=jnp.asarray(qx),
+        Rd=jnp.asarray(Rd), qu=jnp.asarray(qu),
+        dx0=jnp.asarray(dx0),
+        lbx=jnp.asarray(lbx), ubx=jnp.asarray(ubx),
+        lbu=jnp.asarray(lbu), ubu=jnp.asarray(ubu),
+    )
+
+    iters = 6
+    calls = []
+    orig = tiled_mod.solve_box_qp_tiled
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(tiled_mod, "solve_box_qp_tiled", spy)
+
+    ipm_mod._SOLVER_CACHE.clear()
+    monkeypatch.setenv("NMPC_TPU_TILED_IPM", "1")
+    sol_t = jax.vmap(lambda q: solve_box_qp(q, idxbx, idxbu, iters=iters))(qp)
+    assert calls, "tiled path was not taken"
+
+    ipm_mod._SOLVER_CACHE.clear()
+    monkeypatch.setenv("NMPC_TPU_TILED_IPM", "0")
+    sol_s = jax.vmap(lambda q: solve_box_qp(q, idxbx, idxbu, iters=iters))(qp)
+
+    np.testing.assert_allclose(
+        np.asarray(sol_t.dxs), np.asarray(sol_s.dxs), atol=3e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_t.dus), np.asarray(sol_s.dus), atol=3e-4, rtol=1e-3
+    )
+    # Both report the same convergence level.
+    np.testing.assert_allclose(
+        np.asarray(sol_t.mu), np.asarray(sol_s.mu), atol=1e-6, rtol=0.2
+    )
