@@ -104,6 +104,7 @@ def solve_box_qp(
     s_min: float = 1e-2,
     reg: float = 1e-8,
     mu_min: float | None = None,
+    stage_parallel: bool = False,
 ) -> IPMSolution:
     """Solve the stagewise box QP. ``idxbx``/``idxbu`` are static index tuples.
 
@@ -112,20 +113,29 @@ def solve_box_qp(
     this dispatches to the tiled-layout batched implementation
     (``qp/ipm_tiled.py``); everywhere else the per-problem path below runs
     (vmapped when batched).
+
+    ``stage_parallel=True`` runs every Newton solve through the log-depth
+    associative-scan Riccati (``qp/parallel_riccati.plqr_solve``) instead of
+    the serial factor/solve split: O(log N) depth, and the stage axis of the
+    QP arrays can be sharded over a mesh (ICI collectives in the scan) for
+    horizons too long for one core — the stage-parallel axis of SURVEY.md
+    §2.4 applied to the full box-constrained solve, not just the LQR.
     """
     solver = _make_solver(
         tuple(int(i) for i in idxbx),
         tuple(int(i) for i in idxbu),
         int(iters), float(tau), float(mu0), float(s_min), float(reg),
         None if mu_min is None else float(mu_min),
+        bool(stage_parallel),
     )
     return solver(qp)
 
 
-def _make_solver(idxbx, idxbu, iters, tau, mu0, s_min, reg, mu_min):
+def _make_solver(idxbx, idxbu, iters, tau, mu0, s_min, reg, mu_min,
+                 stage_parallel=False):
     import functools
 
-    key = (idxbx, idxbu, iters, tau, mu0, s_min, reg, mu_min)
+    key = (idxbx, idxbu, iters, tau, mu0, s_min, reg, mu_min, stage_parallel)
     cached = _SOLVER_CACHE.get(key)
     if cached is not None:
         return cached
@@ -133,7 +143,7 @@ def _make_solver(idxbx, idxbu, iters, tau, mu0, s_min, reg, mu_min):
     serial = functools.partial(
         _solve_box_qp_serial,
         idxbx=idxbx, idxbu=idxbu, iters=iters, tau=tau, mu0=mu0,
-        s_min=s_min, reg=reg, mu_min=mu_min,
+        s_min=s_min, reg=reg, mu_min=mu_min, stage_parallel=stage_parallel,
     )
 
     @jax.custom_batching.custom_vmap
@@ -145,7 +155,7 @@ def _make_solver(idxbx, idxbu, iters, tau, mu0, s_min, reg, mu_min):
         out_batched = IPMSolution(*([True] * len(IPMSolution._fields)))
         qp_batched = in_batched[0]
         nx, nu = qp.B.shape[-2], qp.B.shape[-1]
-        if _tiled_ipm_ok(nx, nu, axis_size, qp.A.dtype):
+        if not stage_parallel and _tiled_ipm_ok(nx, nu, axis_size, qp.A.dtype):
             from nmpc_nav_control_tpu.qp.ipm_tiled import solve_box_qp_tiled
 
             # Broadcast any lane-constant leaves (e.g. an unbatched Rd when
@@ -194,6 +204,7 @@ def _solve_box_qp_serial(
     s_min: float = 1e-2,
     reg: float = 1e-8,
     mu_min: float | None = None,
+    stage_parallel: bool = False,
 ) -> IPMSolution:
     """Single-problem reference implementation (see module docstring)."""
     idxbx = jnp.asarray(idxbx)
@@ -255,7 +266,10 @@ def _solve_box_qp_serial(
         # reg folds into the R diagonal (identical to adding it to Quu).
         Rbar = (qp.Rd + reg).at[:, idxbu].add(Du)
 
-        factors = riccati_factor_v(qp.A, qp.B, Qbar, Rbar)
+        if stage_parallel:
+            factors = None  # each Newton solve runs the log-depth scan
+        else:
+            factors = riccati_factor_v(qp.A, qp.B, Qbar, Rbar)
 
         # Equality residuals at the current iterate.
         r_dyn = (
@@ -283,9 +297,16 @@ def _solve_box_qp_serial(
             gu = qp.Rd * it.dus + qp.qu
             gu = gu.at[:, idxbu].add(le_uu - le_ul)
 
-            ddxs, ddus = riccati_solve_v(
-                factors, qp.A, qp.B, gx, gu, r_dyn, r_init
-            )
+            if stage_parallel:
+                from nmpc_nav_control_tpu.qp.parallel_riccati import plqr_solve
+
+                ddxs, ddus = plqr_solve(
+                    qp.A, qp.B, Qbar, Rbar, gx, gu, r_dyn, r_init
+                )
+            else:
+                ddxs, ddus = riccati_solve_v(
+                    factors, qp.A, qp.B, gx, gu, r_dyn, r_init
+                )
             dzx = ddxs[1:, idxbx]
             dzu = ddus[:, idxbu]
 

@@ -304,3 +304,31 @@ def test_tiled_ipm_matches_serial_batched(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(sol_t.mu), np.asarray(sol_s.mu), atol=1e-6, rtol=0.2
     )
+
+
+def test_stage_parallel_ipm_matches_serial():
+    """solve_box_qp(stage_parallel=True) routes every Newton solve through the
+    log-depth associative-scan Riccati; results must match the serial path."""
+    rng = np.random.default_rng(3)
+    N, nx, nu = 12, 4, 2
+    prob = _rand_problem(rng, N, nx, nu)
+    A, B, c, Qd, Rd, qx, qu, dx0 = prob
+    dx0 = dx0 * 0.3
+    prob = (A, B, c, Qd, Rd, qx, qu, dx0)
+    idxbx, idxbu = (1, 3), (0, 1)
+    lbx, ubx, lbu, ubu = _feasible_bounds(prob, idxbx, idxbu)
+    qp = BoxQP(
+        A=jnp.asarray(A), B=jnp.asarray(B), c=jnp.asarray(c),
+        Qd=jnp.asarray(Qd), qx=jnp.asarray(qx),
+        Rd=jnp.asarray(Rd), qu=jnp.asarray(qu),
+        dx0=jnp.asarray(dx0),
+        lbx=jnp.asarray(lbx), ubx=jnp.asarray(ubx),
+        lbu=jnp.asarray(lbu), ubu=jnp.asarray(ubu),
+    )
+    sol_s = solve_box_qp(qp, idxbx, idxbu, iters=20)
+    sol_p = solve_box_qp(qp, idxbx, idxbu, iters=20, stage_parallel=True)
+    assert float(sol_p.mu) < 1e-8
+    np.testing.assert_allclose(np.asarray(sol_p.dxs), np.asarray(sol_s.dxs),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(sol_p.dus), np.asarray(sol_s.dus),
+                               atol=1e-8)
