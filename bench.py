@@ -38,14 +38,37 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", "4096"))
     N = int(os.environ.get("BENCH_HORIZON", "40"))
     REPS = int(os.environ.get("BENCH_REPS", "10"))
+    GEOM = os.environ.get("BENCH_GEOMETRY", "diff")
     dtype = jnp.float32
 
-    spec, data = make_controller(
-        "diff", 1.0 / 40.0, N,
-        dist_b=0.27, tau_v=0.1, v_max=1.0, a_max=2.0,
-        q_diag=[10.0, 10.0, 5.0, 0, 0, 0, 0], r_diag=[1.0, 1.0],
-        dtype=dtype,
-    )
+    if GEOM == "diff":
+        spec, data = make_controller(
+            "diff", 1.0 / 40.0, N,
+            dist_b=0.27, tau_v=0.1, v_max=1.0, a_max=2.0,
+            q_diag=[10.0, 10.0, 5.0, 0, 0, 0, 0], r_diag=[1.0, 1.0],
+            dtype=dtype,
+        )
+    elif GEOM == "omni4":
+        spec, data = make_controller(
+            "omni4", 1.0 / 40.0, N,
+            l1_plus_l2=0.535, tau_v=0.1, v_max=1.0, a_max=1.0,
+            q_diag=[10.0, 10.0, 5.0] + [0.0] * 8, r_diag=[1.0] * 4,
+            dtype=dtype,
+        )
+    elif GEOM == "tric":
+        import math
+
+        spec, data = make_controller(
+            "tric", 1.0 / 40.0, N,
+            dist_d=1.05, tau_v=0.1, tau_a=0.1,
+            v_max=1.0, a_max=2.0,
+            alpha_min=-math.radians(60.0), alpha_max=math.radians(60.0),
+            dalpha_max=math.radians(90.0),
+            q_diag=[10.0, 10.0, 5.0, 0, 0, 0, 0], r_diag=[1.0, 1.0],
+            dtype=dtype,
+        )
+    else:
+        raise SystemExit(f"unknown BENCH_GEOMETRY={GEOM!r}")
 
     def one(state, pose, vel, traj, n_valid):
         new_state, cmd, stats = controller_step(
@@ -107,8 +130,9 @@ def main():
     if not finite_ok:
         raise RuntimeError("non-finite KKT residuals in benchmark batch")
 
+    suffix = "" if GEOM == "diff" else f"_{GEOM}"
     print(json.dumps({
-        "metric": f"nmpc_solves_per_s_per_chip_N{N}",
+        "metric": f"nmpc_solves_per_s_per_chip_N{N}{suffix}",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / 40.0, 2),
