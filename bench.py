@@ -35,7 +35,9 @@ def main():
         make_controller,
     )
 
-    B = int(os.environ.get("BENCH_BATCH", "4096"))
+    # B=2048 is the single-chip throughput sweet spot for this program (the
+    # per-solve cost rises past ~2 batch tile groups; see PERFORMANCE.md).
+    B = int(os.environ.get("BENCH_BATCH", "2048"))
     N = int(os.environ.get("BENCH_HORIZON", "40"))
     REPS = int(os.environ.get("BENCH_REPS", "10"))
     GEOM = os.environ.get("BENCH_GEOMETRY", "diff")
@@ -97,8 +99,12 @@ def main():
     # latency of this container's axon tunnel (~30 ms round trip, absent on a
     # directly-attached TPU) from the per-solve figure, per the measurement
     # methodology in PERFORMANCE.md.
+    # The K spread must make the slope signal (K_HI-K_LO steps) much larger
+    # than the per-dispatch noise of the tunnel (a few ms), or the marginal
+    # can even come out negative on a quiet step.  Min-of-reps timing for the
+    # same reason.
     K_LO = int(os.environ.get("BENCH_CHAIN_LO", "1"))
-    K_HI = int(os.environ.get("BENCH_CHAIN_HI", "9"))
+    K_HI = int(os.environ.get("BENCH_CHAIN_HI", "33"))
 
     def chained(k):
         @jax.jit
@@ -111,20 +117,27 @@ def main():
         return run
 
     args = (states, poses, vels, trajs, n_valids)
-    med = {}
+    runs = {k: chained(k) for k in (K_LO, K_HI)}
     finite_ok = True
-    for k in (K_LO, K_HI):
-        run = chained(k)
-        out = jax.block_until_ready(run(*args))  # warmup (compile + first exec)
+    for k, run in runs.items():  # warmup (compile + first exec)
+        out = jax.block_until_ready(run(*args))
         finite_ok = finite_ok and bool(out[1])
-        times = []
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            out = jax.block_until_ready(run(*args))
-            times.append(time.perf_counter() - t0)
-        med[k] = float(np.median(times))
 
-    per_step = (med[K_HI] - med[K_LO]) / (K_HI - K_LO)
+    def measure():
+        best = {}
+        for k, run in runs.items():
+            times = []
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                jax.block_until_ready(run(*args))
+                times.append(time.perf_counter() - t0)
+            best[k] = float(np.min(times))
+        return (best[K_HI] - best[K_LO]) / (K_HI - K_LO)
+
+    per_step = measure()
+    if per_step <= 0:  # a noise spike on the short chain; once more
+        per_step = measure()
+    assert per_step > 0, "non-positive marginal step time (noisy chip?)"
     solves_per_s = B / per_step
 
     if not finite_ok:
