@@ -482,8 +482,9 @@ def riccati_solve_batched(Ps, Ks, Ls, A, B, qx, qu, c, dx0):
 
 
 def _factor_c_kernel(nx, nu, N, reg,
-                     A_ref, B_ref, Qd_ref, Rd_ref, QdN_ref, c_ref,
-                     Ks_ref, Ls_ref, Pc_ref, P_scr):
+                     A_ref, B_ref, Qd_ref, Rd_ref, QdN_ref, c0_ref,
+                     dx_ref, dxn_ref, du_ref,
+                     Ks_ref, Ls_ref, Pc_ref, rdyn_ref, P_scr):
     kk = pl.program_id(1)  # stage k = N-1-kk (backward)
 
     @pl.when(kk == 0)
@@ -498,7 +499,22 @@ def _factor_c_kernel(nx, nu, N, reg,
     A = [[A_ref[0, 0, i * nx + j] for j in range(nx)] for i in range(nx)]
     Bm = [[B_ref[0, 0, i * nu + j] for j in range(nu)] for i in range(nx)]
     P = [[P_scr[i * nx + j] for j in range(nx)] for i in range(nx)]
-    c = [c_ref[0, 0, i] for i in range(nx)]
+
+    # Dynamics residual at the current iterate, computed here instead of a
+    # separate XLA matvec pass (which would re-read the full A and B tensors
+    # from HBM every IPM iteration):
+    #   r_dyn_k = A_k dx_k + B_k du_k + c_k - dx_{k+1}
+    dx = [dx_ref[0, 0, i] for i in range(nx)]
+    du = [du_ref[0, 0, i] for i in range(nu)]
+    c = [
+        c0_ref[0, 0, i]
+        + sum(A[i][m] * dx[m] for m in range(nx))
+        + sum(Bm[i][m] * du[m] for m in range(nu))
+        - dxn_ref[0, 0, i]
+        for i in range(nx)
+    ]
+    for i in range(nx):
+        rdyn_ref[0, 0, i] = c[i]
 
     # Pc = P_{k+1} @ c_k with the INCOMING carry.
     for i in range(nx):
@@ -557,13 +573,16 @@ def _factor_c_kernel(nx, nu, N, reg,
             idx += 1
 
 
-def riccati_factor_c_tiled(At, Bt, Qdt, Rdt, ct, nx, nu, reg: float = 0.0):
-    """Fused factorization, tiled in/out.
+def riccati_factor_c_tiled(At, Bt, Qdt, Rdt, ct0, dxst, dust, nx, nu,
+                           reg: float = 0.0):
+    """Fused factorization + dynamics-residual evaluation, tiled in/out.
 
     At:  [G, N, nx*nx, 8, 128]; Bt: [G, N, nx*nu, 8, 128]
     Qdt: [G, N+1, nx, 8, 128] (row N = terminal); Rdt: [G, N, nu, 8, 128]
-    ct:  [G, N, nx, 8, 128] dynamics residuals.
-    Returns (Kt [G,N,nu*nx,...], Lt [G,N,ntri,...], Pct [G,N,nx,...]).
+    ct0: [G, N, nx, 8, 128] base QP offsets c_k.
+    dxst: [G, N+1, nx, 8, 128] current iterate (states); dust: inputs.
+    Returns (Kt [G,N,nu*nx,...], Lt [G,N,ntri,...], Pct [G,N,nx,...],
+    rdynt [G,N,nx,...] = A dx + B du + c - dx_next).
     """
     G, N = At.shape[0], At.shape[1]
     ntri = nu * (nu + 1) // 2
@@ -572,11 +591,14 @@ def riccati_factor_c_tiled(At, Bt, Qdt, Rdt, ct, nx, nu, reg: float = 0.0):
     def rev(b, k):
         return (b, N - 1 - k, 0, 0, 0)
 
+    def rev_next(b, k):
+        return (b, N - k, 0, 0, 0)
+
     def rowN(b, k):
         return (b, N, 0, 0, 0)
 
     kernel = functools.partial(_factor_c_kernel, nx, nu, N, reg)
-    Kt, Lt, Pct = _pallas_call(
+    Kt, Lt, Pct, rdynt = _pallas_call(
         kernel,
         grid=(G, N),
         in_specs=[
@@ -586,20 +608,25 @@ def riccati_factor_c_tiled(At, Bt, Qdt, Rdt, ct, nx, nu, reg: float = 0.0):
             pl.BlockSpec((1, 1, nu, _SB, 128), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, nx, _SB, 128), rowN, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, nx, _SB, 128), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nx, _SB, 128), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nx, _SB, 128), rev_next, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nu, _SB, 128), rev, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, nu * nx, _SB, 128), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, ntri, _SB, 128), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, nx, _SB, 128), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, nx, _SB, 128), rev, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((G, N, nu * nx, _SB, 128), dtype),
             jax.ShapeDtypeStruct((G, N, ntri, _SB, 128), dtype),
             jax.ShapeDtypeStruct((G, N, nx, _SB, 128), dtype),
+            jax.ShapeDtypeStruct((G, N, nx, _SB, 128), dtype),
         ],
         scratch_shapes=[pltpu.VMEM((nx * nx, _SB, 128), dtype)],
-    )(At, Bt, Qdt, Rdt, Qdt, ct)
-    return Kt, Lt, Pct
+    )(At, Bt, Qdt, Rdt, Qdt, ct0, dxst, dxst, dust)
+    return Kt, Lt, Pct, rdynt
 
 
 def _solve_bwd_c_kernel(nx, nu, N,

@@ -154,16 +154,14 @@ def solve_box_qp_tiled(
         Qbar = Qdt.at[:, 1:, ibx].add(Dx)
         Rbar = (Rdt + reg).at[:, :, ibu].add(Du)
 
-        # Equality residuals at the current iterate (tiled matvecs).
-        r_dyn = (
-            _mv(At, it.dxs[:, :-1], nx, nx)
-            + _mv(Bmt, it.dus, nx, nu)
-            + ct0
-            - it.dxs[:, 1:]
-        )
+        # Equality residuals at the current iterate: r_dyn is evaluated
+        # INSIDE the factor kernel (which already holds A_k/B_k in VMEM),
+        # avoiding a separate matvec pass over the two largest tensors.
         r_init = dx0t - it.dxs[:, :1]
 
-        Kt, Lt, Pct = riccati_factor_c_tiled(At, Bmt, Qbar, Rbar, r_dyn, nx, nu)
+        Kt, Lt, Pct, r_dyn = riccati_factor_c_tiled(
+            At, Bmt, Qbar, Rbar, ct0, it.dxs, it.dus, nx, nu
+        )
 
         def newton(sigma_mu, corr_xl, corr_xu, corr_ul, corr_uu):
             def lam_eff(lam, s, rp, corr):
