@@ -42,6 +42,7 @@ __all__ = [
     "riccati_solve_batched",
     "riccati_factor_c_tiled",
     "riccati_solve_bwd_tiled",
+    "riccati_solve_fwd_ftb_tiled",
     "riccati_solve_fwd_tiled",
     "supported",
     "to_tiles",
@@ -701,6 +702,162 @@ def riccati_solve_bwd_tiled(At, Bt, Kt, Lt, Pct, qxt, qut, nx, nu):
         scratch_shapes=[pltpu.VMEM((nx, _SB, 128), dtype)],
     )(At, Bt, Kt, Lt, Pct, qxt, qut, qxt)
     return kfft
+
+
+def _solve_fwd_ftb_kernel(nx, nu, N, idxbx, idxbu, tau,
+                          A_ref, B_ref, K_ref, kff_ref, c_ref, dx0_ref,
+                          sxl_ref, sxu_ref, sul_ref, suu_ref,
+                          lxl_ref, lxu_ref, lul_ref, luu_ref,
+                          rpxl_ref, rpxu_ref, rpul_ref, rpuu_ref,
+                          lexl_ref, lexu_ref, leul_ref, leuu_ref,
+                          dxs_ref, dus_ref, dxN_ref,
+                          dsxl_ref, dsxu_ref, dsul_ref, dsuu_ref,
+                          dlxl_ref, dlxu_ref, dlul_ref, dluu_ref,
+                          alpha_ref,
+                          dx_scr, ratio_scr):
+    kk = pl.program_id(1)  # forward: stage k = kk
+    nbx, nbu = len(idxbx), len(idxbu)
+    big = jnp.asarray(3.4e38, dx0_ref.dtype)
+
+    @pl.when(kk == 0)
+    def _init():
+        for i in range(nx):
+            dx_scr[i] = dx0_ref[0, 0, i]
+        ratio_scr[0] = jnp.full((_SB, 128), big, dx0_ref.dtype)
+
+    A = [[A_ref[0, 0, i * nx + j] for j in range(nx)] for i in range(nx)]
+    Bm = [[B_ref[0, 0, i * nu + j] for j in range(nu)] for i in range(nx)]
+    K = [[K_ref[0, 0, i * nx + j] for j in range(nx)] for i in range(nu)]
+    dx = [dx_scr[i] for i in range(nx)]
+
+    du = [kff_ref[0, 0, i] + sum(K[i][m] * dx[m] for m in range(nx))
+          for i in range(nu)]
+    dx_next = [c_ref[0, 0, i]
+               + sum(A[i][m] * dx[m] for m in range(nx))
+               + sum(Bm[i][m] * du[m] for m in range(nu))
+               for i in range(nx)]
+
+    for i in range(nx):
+        dxs_ref[0, 0, i] = dx[i]
+        dxN_ref[0, 0, i] = dx_next[i]    # constant index map: final write = dx_N
+        dx_scr[i] = dx_next[i]
+    for i in range(nu):
+        dus_ref[0, 0, i] = du[i]
+
+    # Slack/multiplier deltas + running fraction-to-boundary min, all from
+    # quantities already resident in VMEM.  x bounds apply to stages 1..N
+    # (tensor index k <-> stage k+1 = dx_next); u bounds to stage k = du.
+    m = ratio_scr[0]
+
+    def ratio(v, dv):
+        return jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), big)
+
+    for b in range(nbx):
+        dz = dx_next[idxbx[b]]
+        s_l, s_u = sxl_ref[0, 0, b], sxu_ref[0, 0, b]
+        l_l, l_u = lxl_ref[0, 0, b], lxu_ref[0, 0, b]
+        ds_l = rpxl_ref[0, 0, b] + dz
+        ds_u = rpxu_ref[0, 0, b] - dz
+        dl_l = -(l_l / s_l) * dz + lexl_ref[0, 0, b] - l_l
+        dl_u = (l_u / s_u) * dz + lexu_ref[0, 0, b] - l_u
+        dsxl_ref[0, 0, b] = ds_l
+        dsxu_ref[0, 0, b] = ds_u
+        dlxl_ref[0, 0, b] = dl_l
+        dlxu_ref[0, 0, b] = dl_u
+        for v, dv in ((s_l, ds_l), (s_u, ds_u), (l_l, dl_l), (l_u, dl_u)):
+            m = jnp.minimum(m, ratio(v, dv))
+    for b in range(nbu):
+        dz = du[idxbu[b]]
+        s_l, s_u = sul_ref[0, 0, b], suu_ref[0, 0, b]
+        l_l, l_u = lul_ref[0, 0, b], luu_ref[0, 0, b]
+        ds_l = rpul_ref[0, 0, b] + dz
+        ds_u = rpuu_ref[0, 0, b] - dz
+        dl_l = -(l_l / s_l) * dz + leul_ref[0, 0, b] - l_l
+        dl_u = (l_u / s_u) * dz + leuu_ref[0, 0, b] - l_u
+        dsul_ref[0, 0, b] = ds_l
+        dsuu_ref[0, 0, b] = ds_u
+        dlul_ref[0, 0, b] = dl_l
+        dluu_ref[0, 0, b] = dl_u
+        for v, dv in ((s_l, ds_l), (s_u, ds_u), (l_l, dl_l), (l_u, dl_u)):
+            m = jnp.minimum(m, ratio(v, dv))
+
+    ratio_scr[0] = m
+    # Constant index map: the last grid step's value is the per-lane alpha.
+    alpha_ref[0, 0, 0] = jnp.minimum(jnp.ones_like(m), tau * m)
+
+
+def riccati_solve_fwd_ftb_tiled(At, Bt, Kt, kfft, ct, dx0t,
+                                s_xl, s_xu, s_ul, s_uu,
+                                l_xl, l_xu, l_ul, l_uu,
+                                rp_xl, rp_xu, rp_ul, rp_uu,
+                                le_xl, le_xu, le_ul, le_uu,
+                                idxbx, idxbu, tau, nx, nu):
+    """Forward rollout fused with the IPM's slack/multiplier deltas and the
+    per-lane fraction-to-boundary step length.
+
+    All bound tensors are [G, N, nb, 8, 128]; returns
+    (dxst rows 0..N-1, dust, dxNt [G,1,nx,...],
+     ds_xl, ds_xu, ds_ul, ds_uu, dl_xl, dl_xu, dl_ul, dl_uu,
+     alphat [G, 1, 1, 8, 128]).
+    """
+    G, N = At.shape[0], At.shape[1]
+    dtype = At.dtype
+    nbx, nbu = len(idxbx), len(idxbu)
+
+    def fwd_map(b, k):
+        return (b, k, 0, 0, 0)
+
+    def fix0(b, k):
+        return (b, 0, 0, 0, 0)
+
+    def spec(e, mp=fwd_map):
+        return pl.BlockSpec((1, 1, e, _SB, 128), mp, memory_space=pltpu.VMEM)
+
+    kern = functools.partial(
+        _solve_fwd_ftb_kernel, nx, nu, N, tuple(idxbx), tuple(idxbu),
+        float(tau),
+    )
+    outs = _pallas_call(
+        kern,
+        grid=(G, N),
+        in_specs=[
+            spec(nx * nx), spec(nx * nu), spec(nu * nx), spec(nu), spec(nx),
+            spec(nx, fix0),
+            spec(nbx), spec(nbx), spec(nbu), spec(nbu),
+            spec(nbx), spec(nbx), spec(nbu), spec(nbu),
+            spec(nbx), spec(nbx), spec(nbu), spec(nbu),
+            spec(nbx), spec(nbx), spec(nbu), spec(nbu),
+        ],
+        out_specs=[
+            spec(nx), spec(nu), spec(nx, fix0),
+            spec(nbx), spec(nbx), spec(nbu), spec(nbu),
+            spec(nbx), spec(nbx), spec(nbu), spec(nbu),
+            spec(1, fix0),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, N, nx, _SB, 128), dtype),
+            jax.ShapeDtypeStruct((G, N, nu, _SB, 128), dtype),
+            jax.ShapeDtypeStruct((G, 1, nx, _SB, 128), dtype),
+            jax.ShapeDtypeStruct((G, N, nbx, _SB, 128), dtype),
+            jax.ShapeDtypeStruct((G, N, nbx, _SB, 128), dtype),
+            jax.ShapeDtypeStruct((G, N, nbu, _SB, 128), dtype),
+            jax.ShapeDtypeStruct((G, N, nbu, _SB, 128), dtype),
+            jax.ShapeDtypeStruct((G, N, nbx, _SB, 128), dtype),
+            jax.ShapeDtypeStruct((G, N, nbx, _SB, 128), dtype),
+            jax.ShapeDtypeStruct((G, N, nbu, _SB, 128), dtype),
+            jax.ShapeDtypeStruct((G, N, nbu, _SB, 128), dtype),
+            jax.ShapeDtypeStruct((G, 1, 1, _SB, 128), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nx, _SB, 128), dtype),
+            pltpu.VMEM((1, _SB, 128), dtype),
+        ],
+    )(At, Bt, Kt, kfft, ct, dx0t,
+      s_xl, s_xu, s_ul, s_uu,
+      l_xl, l_xu, l_ul, l_uu,
+      rp_xl, rp_xu, rp_ul, rp_uu,
+      le_xl, le_xu, le_ul, le_uu)
+    return outs
 
 
 def riccati_solve_fwd_tiled(At, Bt, Kt, kfft, ct, dx0t, nx, nu):

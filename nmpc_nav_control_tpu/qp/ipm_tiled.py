@@ -30,30 +30,12 @@ from nmpc_nav_control_tpu.ops.pallas_riccati import (
     from_tiles,
     riccati_factor_c_tiled,
     riccati_solve_bwd_tiled,
-    riccati_solve_fwd_tiled,
+    riccati_solve_fwd_ftb_tiled,
     to_tiles,
 )
 from nmpc_nav_control_tpu.qp.riccati import _highest_precision
 
 __all__ = ["solve_box_qp_tiled"]
-
-
-def _mv(Mt, vt, n, m):
-    """Entry-dim matvec: Mt [..., n*m, 8, 128] (row-major) @ vt [..., m, 8, 128]."""
-    shape = Mt.shape[:-3] + (n, m) + Mt.shape[-2:]
-    return (Mt.reshape(shape) * vt[..., None, :, :, :]).sum(-3)
-
-
-def _mtv(Mt, vt, n, m):
-    """Entry-dim transposed matvec: Mt^T @ vt with vt [..., n, 8, 128]."""
-    shape = Mt.shape[:-3] + (n, m) + Mt.shape[-2:]
-    return (Mt.reshape(shape) * vt[..., :, None, :, :]).sum(-4)
-
-
-def _ftb_alpha_t(v, dv, tau):
-    """Per-lane fraction-to-boundary: reduce over (stage, entry) axes 1, 2."""
-    ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), jnp.inf)
-    return jnp.minimum(1.0, tau * jnp.min(ratio, axis=(1, 2)))
 
 
 @_highest_precision
@@ -164,6 +146,11 @@ def solve_box_qp_tiled(
         )
 
         def newton(sigma_mu, corr_xl, corr_xu, corr_ul, corr_uu):
+            """One Newton solve.  The backward pass consumes the barrier
+            gradients; the forward pass also computes the slack/multiplier
+            deltas and the fraction-to-boundary step length in-kernel.
+            Returns (ddxs, ddus, ds_*, dl_*, alpha [G,8,128])."""
+
             def lam_eff(lam, s, rp, corr):
                 return (sigma_mu - corr) / s - (lam / s) * rp
 
@@ -178,54 +165,33 @@ def solve_box_qp_tiled(
             gu = gu.at[:, :, ibu].add(le_uu - le_ul)
 
             kfft = riccati_solve_bwd_tiled(At, Bmt, Kt, Lt, Pct, gx, gu, nx, nu)
-            ddx_head, ddus = riccati_solve_fwd_tiled(
-                At, Bmt, Kt, kfft, r_dyn, r_init, nx, nu
-            )
-            ddx_N = (
-                _mv(At[:, -1:], ddx_head[:, -1:], nx, nx)
-                + _mv(Bmt[:, -1:], ddus[:, -1:], nx, nu)
-                + r_dyn[:, -1:]
+            (ddx_head, ddus, ddx_N,
+             ds_xl, ds_xu, ds_ul, ds_uu,
+             dl_xl, dl_xu, dl_ul, dl_uu,
+             alphat) = riccati_solve_fwd_ftb_tiled(
+                At, Bmt, Kt, kfft, r_dyn, r_init,
+                it.s_xl, it.s_xu, it.s_ul, it.s_uu,
+                it.l_xl, it.l_xu, it.l_ul, it.l_uu,
+                rp_xl, rp_xu, rp_ul, rp_uu,
+                le_xl, le_xu, le_ul, le_uu,
+                idxbx_t, idxbu_t, tau, nx, nu,
             )
             ddxs = jnp.concatenate([ddx_head, ddx_N], axis=1)
-
-            dzx = ddxs[:, 1:, ibx]
-            dzu = ddus[:, :, ibu]
-            ds_xl = rp_xl + dzx
-            ds_xu = rp_xu - dzx
-            ds_ul = rp_ul + dzu
-            ds_uu = rp_uu - dzu
-            dl_xl = -(it.l_xl / it.s_xl) * dzx + le_xl - it.l_xl
-            dl_xu = (it.l_xu / it.s_xu) * dzx + le_xu - it.l_xu
-            dl_ul = -(it.l_ul / it.s_ul) * dzu + le_ul - it.l_ul
-            dl_uu = (it.l_uu / it.s_uu) * dzu + le_uu - it.l_uu
             return (
                 ddxs, ddus,
                 ds_xl, ds_xu, ds_ul, ds_uu,
                 dl_xl, dl_xu, dl_ul, dl_uu,
+                alphat[:, 0, 0],                    # [G, 8, 128]
             )
-
-        def step_len(d):
-            (_, _, ds_xl, ds_xu, ds_ul, ds_uu, dl_xl, dl_xu, dl_ul, dl_uu) = d
-            alphas = jnp.stack([
-                _ftb_alpha_t(it.s_xl, ds_xl, tau),
-                _ftb_alpha_t(it.s_xu, ds_xu, tau),
-                _ftb_alpha_t(it.s_ul, ds_ul, tau),
-                _ftb_alpha_t(it.s_uu, ds_uu, tau),
-                _ftb_alpha_t(it.l_xl, dl_xl, tau),
-                _ftb_alpha_t(it.l_xu, dl_xu, tau),
-                _ftb_alpha_t(it.l_ul, dl_ul, tau),
-                _ftb_alpha_t(it.l_uu, dl_uu, tau),
-            ])
-            return jnp.min(alphas, axis=0)         # [G, 8, 128]
 
         # --- Predictor (affine). ---
         zxl = jnp.zeros_like(it.s_xl)
         zul = jnp.zeros_like(it.s_ul)
         d_aff = newton(jnp.zeros((G, 1, 1, 8, 128), dtype), zxl, zxl, zul, zul)
-        a_aff = per_stage(step_len(d_aff))
+        a_aff = per_stage(d_aff[-1])
 
         (_, _, dsa_xl, dsa_xu, dsa_ul, dsa_uu,
-         dla_xl, dla_xu, dla_ul, dla_uu) = d_aff
+         dla_xl, dla_xu, dla_ul, dla_uu, _) = d_aff
         mu_aff = (
             jnp.sum((it.s_xl + a_aff * dsa_xl) * (it.l_xl + a_aff * dla_xl),
                     axis=(1, 2))
@@ -246,10 +212,10 @@ def solve_box_qp_tiled(
             dsa_ul * dla_ul,
             dsa_uu * dla_uu,
         )
-        alpha = per_stage(step_len(d))
+        alpha = per_stage(d[-1])
 
         (ddxs, ddus, ds_xl, ds_xu, ds_ul, ds_uu,
-         dl_xl, dl_xu, dl_ul, dl_uu) = d
+         dl_xl, dl_xu, dl_ul, dl_uu, _) = d
 
         def pos(v):
             return jnp.maximum(v, eps_floor)
