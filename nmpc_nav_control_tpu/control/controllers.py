@@ -174,17 +174,17 @@ def _compose_x0(spec: ControllerSpec, data: OCPData, state: RTIState,
         # (x, y, theta, vl, vr) measured; (vl_ref, vr_ref) carried.
         vl, vr = diff.direct_kinematics(vel[0], vel[2], data.p[diff.P_DIST_B])
         meas = jnp.stack([pose[0], pose[1], pose[2], vl, vr])
-        return carry.at[:5].set(meas)
+        return carry.at[:5].set(meas.astype(carry.dtype))
     if g == "omni4":
         v1, v2, v3, v4 = omni4.direct_kinematics(
             vel[0], vel[1], vel[2], data.p[omni4.P_L1_PLUS_L2]
         )
         meas = jnp.stack([pose[0], pose[1], pose[2], v1, v2, v3, v4])
-        return carry.at[:7].set(meas)
+        return carry.at[:7].set(meas.astype(carry.dtype))
     # tric: (x, y, theta, v, alpha) measured — alpha from the steering-wheel
     # TF frame (``NMPCNavControlTric.cpp:94-99`` + setSteeringWheelAngle).
     meas = jnp.stack([pose[0], pose[1], pose[2], vel[0], steer_angle])
-    return carry.at[:5].set(meas)
+    return carry.at[:5].set(meas.astype(carry.dtype))
 
 
 def _cmd_of(spec: ControllerSpec, data: OCPData, refs) -> CmdVel:
@@ -223,7 +223,10 @@ def controller_step(
     Returns (new_state, CmdVel, RTIStats).
     """
     if steer_angle is None:
-        steer_angle = jnp.zeros(())
+        # Match the carry dtype: a default-dtype zero would be f64 under x64
+        # and turn the x0 scatter into an unsafe-cast (FutureWarning, soon an
+        # error in JAX).
+        steer_angle = jnp.zeros((), state.x0_carry.dtype)
     x0 = _compose_x0(spec, data, state, pose, vel, steer_angle)
     new_state, u0, stats = rti_step(
         spec.rti, data, state, x0, traj_xy_theta, n_valid

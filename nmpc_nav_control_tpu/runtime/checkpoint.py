@@ -41,6 +41,14 @@ def load_state(path: str, like):
 
     with np.load(path) as data:
         leaves_t, treedef = jax.tree_util.tree_flatten(like)
+        if "__treedef__" in data.files:
+            saved_td = json.loads(bytes(data["__treedef__"]).decode())
+            if saved_td != str(treedef):
+                raise ValueError(
+                    "checkpoint pytree structure does not match the template:\n"
+                    f"  checkpoint: {saved_td}\n"
+                    f"  template:   {treedef}"
+                )
         n = sum(1 for k in data.files if k.startswith("leaf_"))
         if n != len(leaves_t):
             raise ValueError(

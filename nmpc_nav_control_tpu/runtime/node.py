@@ -17,8 +17,9 @@ Reference behaviors carried over:
 """
 from __future__ import annotations
 
+import collections
 import time
-from typing import List, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -73,8 +74,12 @@ class NmpcNavControlNode:
             lambda s, m: node_tick(self.spec, self.data, self.cfg, s, m)
         )
         self._steer_angle = 0.0
-        self._cycle_times: List[float] = []
-        self._solver_kkt: List[float] = []
+        # Bounded history windows: at 40 Hz an unbounded list is a slow leak
+        # in a long-running controller.  4096 samples ≈ 100 s of history —
+        # plenty for p50/p99 while keeping memory constant.
+        self._cycle_times: collections.deque = collections.deque(maxlen=4096)
+        self._solver_kkt: collections.deque = collections.deque(maxlen=4096)
+        self._total_cycles = 0
         # Raw controller command from the last tick, pre Twist-encoding:
         # (v, vn, w) — for tric, w is alpha_ref (the Twist carries the
         # *measured* angle per the reference quirk). None until a tick
@@ -177,6 +182,7 @@ class NmpcNavControlNode:
             self.last_actual_path_u = float(out.active_path_u)
         self._cycle_times.append(time.perf_counter() - t0)
         self._solver_kkt.append(float(out.kkt_res))
+        self._total_cycles += 1
         return twist, status
 
     # ------------------------------------------------------------------ #
@@ -188,7 +194,8 @@ class NmpcNavControlNode:
             return {}
         t = np.asarray(self._cycle_times) * 1e3
         return {
-            "cycles": len(t),
+            "cycles": self._total_cycles,
+            "window": len(t),
             "p50_ms": float(np.percentile(t, 50)),
             "p99_ms": float(np.percentile(t, 99)),
             "max_ms": float(t.max()),

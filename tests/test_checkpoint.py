@@ -65,6 +65,24 @@ def test_checkpoint_roundtrip_resumes_identically():
     )
 
 
+def test_checkpoint_treedef_mismatch_raises():
+    """A same-leaf-count but different-structure pytree must NOT load silently
+    (the saved treedef descriptor is enforced, not just shapes)."""
+    spec, data, cfg = _setup()
+    state = node_init(spec, cfg, DTYPE)
+    leaves, _ = jax.tree_util.tree_flatten(state)
+    # Same leaves, different container structure (tuple vs NodeState).
+    bad_template = tuple(leaves)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.npz")
+        save_state(path, state)
+        try:
+            load_state(path, bad_template)
+            assert False, "expected treedef mismatch"
+        except ValueError as e:
+            assert "structure" in str(e)
+
+
 def test_checkpoint_shape_mismatch_raises():
     spec, data, cfg = _setup()
     state = node_init(spec, cfg, DTYPE)

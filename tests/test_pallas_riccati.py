@@ -47,7 +47,8 @@ def test_pallas_factor_and_solve_match_xla(nx, nu):
 
     ref = jax.jit(jax.vmap(riccati_factor))(A, Bm, Qd, Rd)
     Ps, Ks, Ls = jax.jit(riccati_factor_batched)(A, Bm, Qd, Rd)
-    np.testing.assert_allclose(np.asarray(Ps[:, 1:]), np.asarray(ref.Ps[:, 1:]),
+    # Full Ps contract including row 0 (the final backward carry P_0).
+    np.testing.assert_allclose(np.asarray(Ps), np.asarray(ref.Ps),
                                atol=5e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(Ks), np.asarray(ref.Ks),
                                atol=5e-5, rtol=1e-4)
