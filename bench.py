@@ -1,84 +1,117 @@
-"""Headline benchmark: batched NMPC solves/s/chip at N=40 (diff geometry).
+"""Benchmark sweep: batched NMPC solves/s/chip across geometry, horizon, batch.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line PER CONFIG, e.g.
+  {"metric": "nmpc_solves_per_s_per_chip_N40", "value": ..., "unit": "solves/s",
+   "vs_baseline": ..., "config": {...}, "flops_per_solve": ..., "achieved_gflops": ...}
+and finishes with the HEADLINE config (diff, N=40, B=2048) as the LAST line so
+drivers that parse the tail capture the flagship number.
 
 The metric counts FULL RTI solves — RK4 rollout + jacfwd linearization,
-Gauss-Newton cost blocks, and the 12-iteration Mehrotra box-IPM (each
-iteration = 1 Riccati factorization + 2 solves) — i.e. everything one
+Gauss-Newton cost blocks, and the 8-iteration Mehrotra box-IPM (each
+iteration = 4 fused Pallas sweeps) — i.e. everything one
 ``{name}_acados_solve()`` call does in the reference, batched over scenarios
 on one chip.
 
 Baseline: the reference runs 1 robot x 40 solves/s on a CPU
 (``NMPCNavControlROS.cpp:36-41``; BASELINE.md).  vs_baseline = value / 40.
+
+Sweep control:
+  BENCH_SWEEP=headline   only the headline config (fast CI)
+  BENCH_SWEEP=full       geometry x {N=40,80} x {B=2048,4096} + B=1 latency (default)
+  BENCH_GEOMETRY / BENCH_HORIZON / BENCH_BATCH   single custom config
 """
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 
 import numpy as np
 
+BASELINE_SOLVES_PER_S = 40.0      # 1 robot x 40 Hz on the reference CPU node
+BUDGET_MS = 25.0                  # the 40 Hz real-time tick budget
+# Peak f32 vector-unit rate used for the roofline fraction.  The IPM stage
+# math is unrolled elementwise FMA work on the VPU (8x128 lanes), not MXU
+# matmuls; v5e VPU peak is ~3.9e12 f32 FLOP/s (8*128 lanes x 4 ALUs x 2
+# flops/FMA x ~0.94 GHz).  Fractions are indicative, not certified.
+VPU_PEAK_F32 = 3.9e12
 
-def main():
-    import jax
 
-    jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-
-    import jax.numpy as jnp
-
-    from nmpc_nav_control_tpu.control import (
-        controller_init,
-        controller_step,
-        make_controller,
+def _flops_per_solve(nx, nu, nnzA, nnzB, nbx, nbu, N, iters):
+    """Analytic FLOP estimate of one full RTI solve (XLA cost analysis
+    cannot see inside the Pallas custom calls, so this is counted from the
+    algorithm: RK4+jacfwd linearization + per-iteration factor/solve sweeps
+    with the A/B sparsity actually exploited by the kernels).  FMA = 2 flops.
+    Estimate class: +-20%."""
+    cf = 12 * nx                     # continuous dynamics eval (approx)
+    lin = N * (4 * cf * (1 + 2 * (nx + nu)) + 12 * nx)
+    tri = nu * (nu + 1) // 2
+    factor = (
+        2 * nx * nnzA + 2 * nx * nnzB       # P@A, P@B
+        + 2 * tri * nx + 2 * nnzB * nx      # Quu, Qux
+        + nu ** 3 // 3 + 2 * nx * nu ** 2   # chol + K solve
+        + 2 * nx * nnzA + 2 * nu * nx * nx  # P update (A'PA sym + Qux'K)
+        + 2 * nx * nx                       # Pc
+        + 2 * (nnzA + nnzB)                 # dynamics residual
     )
+    vec_bwd = 2 * (nnzA + nnzB + nu * nx + nu * nu + 3 * nx)
+    fwd = 2 * (nu * nx + nnzA + nnzB) + 14 * (nbx + nbu)
+    barrier = 30 * (nbx + nbu)
+    per_iter_stage = factor + 2 * vec_bwd + 2 * fwd + barrier
+    return lin + iters * N * per_iter_stage
 
-    # B=2048 is the single-chip throughput sweet spot for this program (the
-    # per-solve cost rises past ~2 batch tile groups; see PERFORMANCE.md).
-    B = int(os.environ.get("BENCH_BATCH", "2048"))
-    N = int(os.environ.get("BENCH_HORIZON", "40"))
-    REPS = int(os.environ.get("BENCH_REPS", "10"))
-    GEOM = os.environ.get("BENCH_GEOMETRY", "diff")
+
+def _build(jnp, geom, N, ipm_iters=8):
+    from nmpc_nav_control_tpu.control import make_controller
+
     dtype = jnp.float32
-
-    if GEOM == "diff":
-        spec, data = make_controller(
+    if geom == "diff":
+        return make_controller(
             "diff", 1.0 / 40.0, N,
             dist_b=0.27, tau_v=0.1, v_max=1.0, a_max=2.0,
             q_diag=[10.0, 10.0, 5.0, 0, 0, 0, 0], r_diag=[1.0, 1.0],
-            dtype=dtype,
+            ipm_iters=ipm_iters, dtype=dtype,
         )
-    elif GEOM == "omni4":
-        spec, data = make_controller(
+    if geom == "omni4":
+        return make_controller(
             "omni4", 1.0 / 40.0, N,
             l1_plus_l2=0.535, tau_v=0.1, v_max=1.0, a_max=1.0,
             q_diag=[10.0, 10.0, 5.0] + [0.0] * 8, r_diag=[1.0] * 4,
-            dtype=dtype,
+            ipm_iters=ipm_iters, dtype=dtype,
         )
-    elif GEOM == "tric":
-        import math
-
-        spec, data = make_controller(
+    if geom == "tric":
+        return make_controller(
             "tric", 1.0 / 40.0, N,
-            dist_d=1.05, tau_v=0.1, tau_a=0.1,
-            v_max=1.0, a_max=2.0,
+            dist_d=1.05, tau_v=0.1, tau_a=0.1, v_max=1.0, a_max=2.0,
             alpha_min=-math.radians(60.0), alpha_max=math.radians(60.0),
             dalpha_max=math.radians(90.0),
             q_diag=[10.0, 10.0, 5.0, 0, 0, 0, 0], r_diag=[1.0, 1.0],
-            dtype=dtype,
+            ipm_iters=ipm_iters, dtype=dtype,
         )
-    else:
-        raise SystemExit(f"unknown BENCH_GEOMETRY={GEOM!r}")
+    raise SystemExit(f"unknown geometry {geom!r}")
+
+
+def _measure_config(jax, jnp, geom, N, B, reps, k_lo, k_hi):
+    """Steady-state per-solve time via the chained-slope method.
+
+    Chain K dependent control ticks inside one jit (the production control
+    loop is exactly this dependence chain) and take the marginal cost
+    between two chain lengths — removes this container's ~30 ms per-dispatch
+    axon-tunnel latency (absent on a directly-attached TPU) from the
+    per-solve figure.  Min-of-reps timing for tunnel-noise robustness (see
+    PERFORMANCE.md, measurement methodology).
+    """
+    from nmpc_nav_control_tpu.control import controller_init, controller_step
+
+    dtype = jnp.float32
+    spec, data = _build(jnp, geom, N)
 
     def one(state, pose, vel, traj, n_valid):
         new_state, cmd, stats = controller_step(
             spec, data, state, pose, vel, traj, n_valid
         )
-        return new_state, jnp.stack([cmd.v, cmd.vn, cmd.w]), stats.kkt_res
-
-    step = jax.jit(jax.vmap(one))
+        return new_state, stats.kkt_res
 
     state0 = controller_init(spec, dtype)
     states = jax.tree_util.tree_map(
@@ -92,33 +125,29 @@ def main():
     )
     n_valids = jnp.ones((B,), jnp.int32)
 
-    # Steady-state throughput: chain K dependent control ticks inside one jit
-    # (the production control loop is exactly this dependence chain — each
-    # tick consumes the previous tick's warm state) and take the marginal
-    # cost between two chain lengths.  This removes the per-dispatch network
-    # latency of this container's axon tunnel (~30 ms round trip, absent on a
-    # directly-attached TPU) from the per-solve figure, per the measurement
-    # methodology in PERFORMANCE.md.
-    # The K spread must make the slope signal (K_HI-K_LO steps) much larger
-    # than the per-dispatch noise of the tunnel (a few ms), or the marginal
-    # can even come out negative on a quiet step.  Min-of-reps timing for the
-    # same reason.
-    K_LO = int(os.environ.get("BENCH_CHAIN_LO", "1"))
-    K_HI = int(os.environ.get("BENCH_CHAIN_HI", "33"))
-
     def chained(k):
         @jax.jit
         def run(states, poses, vels, trajs, n_valids):
             def body(carry, _):
-                st, _, kkt = jax.vmap(one)(carry, poses, vels, trajs, n_valids)
+                st, kkt = jax.vmap(one)(carry, poses, vels, trajs, n_valids)
                 return st, kkt
             st, kkts = jax.lax.scan(body, states, None, length=k)
             return st.xs.sum(), jnp.all(jnp.isfinite(kkts))
         return run
 
     args = (states, poses, vels, trajs, n_valids)
-    runs = {k: chained(k) for k in (K_LO, K_HI)}
+    runs = {k: chained(k) for k in (k_lo, k_hi)}
     finite_ok = True
+    # Analytic per-solve FLOPs (XLA cost analysis cannot see into the Pallas
+    # custom calls where the IPM work actually runs).
+    m = spec.dims.model
+    asp, bsp = spec.rti.spars
+    nnzA = sum(sum(r) for r in asp)
+    nnzB = sum(sum(r) for r in bsp)
+    flops_solve = _flops_per_solve(
+        m.nx, m.nu, nnzA, nnzB, len(m.idxbx), len(m.idxbu), N,
+        spec.rti.ipm_iters,
+    )
     for k, run in runs.items():  # warmup (compile + first exec)
         out = jax.block_until_ready(run(*args))
         finite_ok = finite_ok and bool(out[1])
@@ -127,29 +156,106 @@ def main():
         best = {}
         for k, run in runs.items():
             times = []
-            for _ in range(REPS):
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 jax.block_until_ready(run(*args))
                 times.append(time.perf_counter() - t0)
             best[k] = float(np.min(times))
-        return (best[K_HI] - best[K_LO]) / (K_HI - K_LO)
+        return (best[k_hi] - best[k_lo]) / (k_hi - k_lo)
 
     per_step = measure()
     if per_step <= 0:  # a noise spike on the short chain; once more
         per_step = measure()
     assert per_step > 0, "non-positive marginal step time (noisy chip?)"
-    solves_per_s = B / per_step
-
     if not finite_ok:
         raise RuntimeError("non-finite KKT residuals in benchmark batch")
+    return per_step, flops_solve
 
-    suffix = "" if GEOM == "diff" else f"_{GEOM}"
-    print(json.dumps({
+
+def _emit(geom, N, B, per_step, flops_per_solve):
+    solves_per_s = B / per_step
+    suffix = "" if geom == "diff" else f"_{geom}"
+    rec = {
         "metric": f"nmpc_solves_per_s_per_chip_N{N}{suffix}",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
-        "vs_baseline": round(solves_per_s / 40.0, 2),
-    }))
+        "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 2),
+        "config": {"geometry": geom, "N": N, "batch": B,
+                   "ipm_iters": 8, "dtype": "float32"},
+    }
+    if flops_per_solve:
+        achieved = flops_per_solve * solves_per_s
+        rec["flops_per_solve"] = round(flops_per_solve)
+        rec["achieved_gflops"] = round(achieved / 1e9, 1)
+        rec["vpu_peak_frac"] = round(achieved / VPU_PEAK_F32, 4)
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    import jax.numpy as jnp
+
+    reps = int(os.environ.get("BENCH_REPS", "10"))
+    k_lo = int(os.environ.get("BENCH_CHAIN_LO", "1"))
+    k_hi = int(os.environ.get("BENCH_CHAIN_HI", "33"))
+    sweep = os.environ.get("BENCH_SWEEP", "full")
+
+    custom = ("BENCH_GEOMETRY" in os.environ or "BENCH_HORIZON" in os.environ
+              or "BENCH_BATCH" in os.environ)
+    headline = ("diff", 40, int(os.environ.get("BENCH_BATCH", "2048")))
+
+    if custom:
+        configs = [(
+            os.environ.get("BENCH_GEOMETRY", "diff"),
+            int(os.environ.get("BENCH_HORIZON", "40")),
+            int(os.environ.get("BENCH_BATCH", "2048")),
+        )]
+    elif sweep == "headline":
+        configs = [headline]
+    else:
+        # Full sweep (driver artifact): all geometries, both reference
+        # horizons (BASELINE.md treats N as a sweep axis: metric names N=40,
+        # the reference default config yields N=80), two batch sizes.
+        # Headline LAST so tail-parsers capture it.
+        configs = [
+            ("diff", 40, 4096),
+            ("diff", 80, 2048),
+            ("diff", 80, 4096),
+            ("omni4", 40, 2048),
+            ("omni4", 40, 4096),
+            ("omni4", 80, 2048),
+            ("tric", 40, 2048),
+            ("tric", 40, 4096),
+            ("tric", 80, 2048),
+            headline,
+        ]
+        # Single-robot latency probe (the reference's actual workload is ONE
+        # robot on a 25 ms budget): chained-slope per-tick latency at B=1.
+        try:
+            per_step, _ = _measure_config(jax, jnp, "diff", 40, 1, reps,
+                                          k_lo, k_hi)
+            print(json.dumps({
+                "metric": "single_robot_tick_latency_ms_N40",
+                "value": round(per_step * 1e3, 4),
+                "unit": "ms",
+                "vs_baseline": round(BUDGET_MS / (per_step * 1e3), 1),
+                "config": {"geometry": "diff", "N": 40, "batch": 1,
+                           "note": "vs_baseline = 25ms budget / latency"},
+            }), flush=True)
+        except Exception as e:  # pragma: no cover - probe must not kill sweep
+            print(json.dumps({"metric": "single_robot_tick_latency_ms_N40",
+                              "error": str(e)}), flush=True)
+
+    for geom, N, B in configs:
+        per_step, fps = _measure_config(jax, jnp, geom, N, B, reps, k_lo, k_hi)
+        _emit(geom, N, B, per_step, fps)
 
 
 if __name__ == "__main__":

@@ -139,12 +139,19 @@ def make_controller(
     assert qe.shape == (nx,), f"qn_diag must have {nx} entries"
 
     dims = OCPDims(model=model, N=N, dt=dt)
+    # Static structural sparsity of the RK4 stage Jacobians (p is concrete
+    # here) — exploited by the fused TPU IPM kernels; diff/tric: 23/49 A
+    # entries, omni4: 41/121.
+    from nmpc_nav_control_tpu.ocp.sparsity import detect_jacobian_sparsity
+
+    spars = detect_jacobian_sparsity(model.f, dt, nx, nu, p)
     spec = ControllerSpec(
         geometry=geometry,
         rti=RTIConfig(
             dims=dims,
             ipm_iters=ipm_iters,
             adaptive_terminal_weight=adaptive,
+            spars=spars,
         ),
     )
     data = OCPData(

@@ -118,6 +118,20 @@ class TickOutput(NamedTuple):
     publish_debug: jnp.ndarray # [] bool — FollowPath ticks only (``:670``)
     active_path_u: jnp.ndarray # [] fractional u for the actual_path topic
                                #   (``pubActualPath``, ``:390-399``)
+    # ``actual_path`` re-publication payload: the front active curve on
+    # solving FollowPath ticks (``pubActualPath``, ``:390-399,696``).  The
+    # host re-encodes it via ``runtime.messages.encode_path_set``.
+    publish_actual: jnp.ndarray   # [] bool
+    actual_cx: jnp.ndarray        # [DEG]
+    actual_cy: jnp.ndarray        # [DEG]
+    actual_ch: jnp.ndarray        # [DEG]
+    actual_velocity: jnp.ndarray  # []
+    actual_frame: jnp.ndarray     # [] int32 frame code of that curve
+    # Frame the measured pose must be expressed in NEXT tick: the front
+    # active curve after any end-of-curve rotation (the reference re-acquires
+    # the pose in ``active_path_.front().GetFrameId()`` each FollowPath tick,
+    # ``mainCycle``, ``:520-524``).  0 = no active path.
+    next_frame: jnp.ndarray       # [] int32
 
 
 def node_init(spec: ControllerSpec, cfg: NavConfig, dtype=jnp.float32) -> NodeState:
@@ -324,6 +338,20 @@ def node_tick(
         rti=rti_after,
         request_id=state.request_id,
     )
+    # actual_path payload: front active curve of the post-pop/top-up window
+    # (pubActualPath runs before any end-of-curve rotation, ``:696``).
+    cap = cfg.path_capacity
+    front_fp = jax.tree_util.tree_map(
+        lambda leaf: leaf[jnp.clip(win_fp.head, 0, cap - 1)], win_fp.segs
+    )
+    publish_actual = in_fp & fp_solve & (win_fp.active_count > 0)
+    next_front = jnp.clip(win_after.head, 0, cap - 1)
+    next_frame = jnp.where(
+        in_fp & (win_after.active_count > 0),
+        win_after.segs.frame_id[next_front],
+        jnp.zeros((), jnp.int32),
+    ).astype(jnp.int32)
+
     out = TickOutput(
         cmd=cmd_out,
         publish_cmd=publish,
@@ -335,5 +363,12 @@ def node_tick(
         debug_path=traj_fp,
         publish_debug=in_fp & ~fp_unsafe,
         active_path_u=u_after,
+        publish_actual=publish_actual,
+        actual_cx=front_fp.cx,
+        actual_cy=front_fp.cy,
+        actual_ch=front_fp.ch,
+        actual_velocity=front_fp.velocity,
+        actual_frame=front_fp.frame_id.astype(jnp.int32),
+        next_frame=next_frame,
     )
     return new_state, out

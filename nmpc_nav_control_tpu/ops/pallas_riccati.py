@@ -40,10 +40,6 @@ __all__ = [
     "BT",
     "riccati_factor_batched",
     "riccati_solve_batched",
-    "riccati_factor_c_tiled",
-    "riccati_solve_bwd_tiled",
-    "riccati_solve_fwd_ftb_tiled",
-    "riccati_solve_fwd_tiled",
     "supported",
     "to_tiles",
     "from_tiles",
@@ -471,435 +467,3 @@ def riccati_solve_batched(Ps, Ks, Ls, A, B, qx, qu, c, dx0):
     )
     dxs = jnp.concatenate([dxs_head, dx_N[:, None]], axis=1)
     return dxs, dus
-
-
-# --------------------------------------------------------------------------- #
-# Tiled-layout kernels for the fused IPM path (qp/ipm_tiled.py)
-#
-# Same sweeps as above, but (a) operands arrive and leave in the tiled
-# [G, N(+1), e, 8, 128] layout so nothing is re-transposed between IPM
-# iterations, and (b) the factor kernel consumes the dynamics residual c_k
-# and emits Pc_k = P_{k+1} @ c_k ([nx] per stage) instead of the full
-# P_{k+1} ([nx, nx]) — the vector backward solve only ever uses P through
-# that product, and dropping Ps removes the largest HBM tensor from the
-# per-iteration traffic.
-# --------------------------------------------------------------------------- #
-
-
-def _factor_c_kernel(nx, nu, N, reg,
-                     A_ref, B_ref, Qd_ref, Rd_ref, QdN_ref, c0_ref,
-                     dx_ref, dxn_ref, du_ref,
-                     Ks_ref, Ls_ref, Pc_ref, rdyn_ref, P_scr):
-    kk = pl.program_id(1)  # stage k = N-1-kk (backward)
-
-    @pl.when(kk == 0)
-    def _init():
-        for i in range(nx):
-            for j in range(nx):
-                if i == j:
-                    P_scr[i * nx + j] = QdN_ref[0, 0, i]
-                else:
-                    P_scr[i * nx + j] = jnp.zeros_like(QdN_ref[0, 0, 0])
-
-    A = [[A_ref[0, 0, i * nx + j] for j in range(nx)] for i in range(nx)]
-    Bm = [[B_ref[0, 0, i * nu + j] for j in range(nu)] for i in range(nx)]
-    P = [[P_scr[i * nx + j] for j in range(nx)] for i in range(nx)]
-
-    # Dynamics residual at the current iterate, computed here instead of a
-    # separate XLA matvec pass (which would re-read the full A and B tensors
-    # from HBM every IPM iteration):
-    #   r_dyn_k = A_k dx_k + B_k du_k + c_k - dx_{k+1}
-    dx = [dx_ref[0, 0, i] for i in range(nx)]
-    du = [du_ref[0, 0, i] for i in range(nu)]
-    c = [
-        c0_ref[0, 0, i]
-        + sum(A[i][m] * dx[m] for m in range(nx))
-        + sum(Bm[i][m] * du[m] for m in range(nu))
-        - dxn_ref[0, 0, i]
-        for i in range(nx)
-    ]
-    for i in range(nx):
-        rdyn_ref[0, 0, i] = c[i]
-
-    # Pc = P_{k+1} @ c_k with the INCOMING carry.
-    for i in range(nx):
-        Pc_ref[0, 0, i] = sum(P[i][m] * c[m] for m in range(nx))
-
-    PA = [[sum(P[i][m] * A[m][j] for m in range(nx)) for j in range(nx)]
-          for i in range(nx)]
-    PB = [[sum(P[i][m] * Bm[m][j] for m in range(nx)) for j in range(nu)]
-          for i in range(nx)]
-
-    Quu = {}
-    for i in range(nu):
-        for j in range(i + 1):
-            s = sum(Bm[m][i] * PB[m][j] for m in range(nx))
-            if i == j:
-                s = s + Rd_ref[0, 0, i] + reg
-            Quu[(i, j)] = s
-    Qux = [[sum(Bm[m][i] * PA[m][j] for m in range(nx)) for j in range(nx)]
-           for i in range(nu)]
-
-    L = {}
-    for i in range(nu):
-        for j in range(i + 1):
-            s = Quu[(i, j)]
-            for k in range(j):
-                s = s - L[(i, k)] * L[(j, k)]
-            if i == j:
-                L[(i, j)] = jnp.sqrt(s)
-            else:
-                L[(i, j)] = s / L[(j, j)]
-
-    rhs_cols = [[Qux[i][j] for i in range(nu)] for j in range(nx)]
-    Kcols = _chol_solve_entries(L, rhs_cols, nu)
-    K = [[-Kcols[j][i] for j in range(nx)] for i in range(nu)]
-
-    for i in range(nx):
-        for j in range(i + 1):
-            s = sum(A[m][i] * PA[m][j] for m in range(nx))
-            s = s + sum(Qux[m][i] * K[m][j] for m in range(nu))
-            s2 = sum(A[m][j] * PA[m][i] for m in range(nx))
-            s2 = s2 + sum(Qux[m][j] * K[m][i] for m in range(nu))
-            val = 0.5 * (s + s2)
-            if i == j:
-                val = val + Qd_ref[0, 0, i]
-            P_scr[i * nx + j] = val
-            if i != j:
-                P_scr[j * nx + i] = val
-
-    for i in range(nu):
-        for j in range(nx):
-            Ks_ref[0, 0, i * nx + j] = K[i][j]
-    idx = 0
-    for i in range(nu):
-        for j in range(i + 1):
-            Ls_ref[0, 0, idx] = L[(i, j)]
-            idx += 1
-
-
-def riccati_factor_c_tiled(At, Bt, Qdt, Rdt, ct0, dxst, dust, nx, nu,
-                           reg: float = 0.0):
-    """Fused factorization + dynamics-residual evaluation, tiled in/out.
-
-    At:  [G, N, nx*nx, 8, 128]; Bt: [G, N, nx*nu, 8, 128]
-    Qdt: [G, N+1, nx, 8, 128] (row N = terminal); Rdt: [G, N, nu, 8, 128]
-    ct0: [G, N, nx, 8, 128] base QP offsets c_k.
-    dxst: [G, N+1, nx, 8, 128] current iterate (states); dust: inputs.
-    Returns (Kt [G,N,nu*nx,...], Lt [G,N,ntri,...], Pct [G,N,nx,...],
-    rdynt [G,N,nx,...] = A dx + B du + c - dx_next).
-    """
-    G, N = At.shape[0], At.shape[1]
-    ntri = nu * (nu + 1) // 2
-    dtype = At.dtype
-
-    def rev(b, k):
-        return (b, N - 1 - k, 0, 0, 0)
-
-    def rev_next(b, k):
-        return (b, N - k, 0, 0, 0)
-
-    def rowN(b, k):
-        return (b, N, 0, 0, 0)
-
-    kernel = functools.partial(_factor_c_kernel, nx, nu, N, reg)
-    Kt, Lt, Pct, rdynt = _pallas_call(
-        kernel,
-        grid=(G, N),
-        in_specs=[
-            pl.BlockSpec((1, 1, nx * nx, _SB, 128), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nx * nu, _SB, 128), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nx, _SB, 128), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nu, _SB, 128), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nx, _SB, 128), rowN, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nx, _SB, 128), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nx, _SB, 128), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nx, _SB, 128), rev_next, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nu, _SB, 128), rev, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, nu * nx, _SB, 128), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ntri, _SB, 128), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nx, _SB, 128), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nx, _SB, 128), rev, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((G, N, nu * nx, _SB, 128), dtype),
-            jax.ShapeDtypeStruct((G, N, ntri, _SB, 128), dtype),
-            jax.ShapeDtypeStruct((G, N, nx, _SB, 128), dtype),
-            jax.ShapeDtypeStruct((G, N, nx, _SB, 128), dtype),
-        ],
-        scratch_shapes=[pltpu.VMEM((nx * nx, _SB, 128), dtype)],
-    )(At, Bt, Qdt, Rdt, Qdt, ct0, dxst, dxst, dust)
-    return Kt, Lt, Pct, rdynt
-
-
-def _solve_bwd_c_kernel(nx, nu, N,
-                        A_ref, B_ref, K_ref, L_ref, Pc_ref,
-                        qx_ref, qu_ref, qxN_ref,
-                        kff_ref, p_scr):
-    kk = pl.program_id(1)
-
-    @pl.when(kk == 0)
-    def _init():
-        for i in range(nx):
-            p_scr[i] = qxN_ref[0, 0, i]
-
-    A = [[A_ref[0, 0, i * nx + j] for j in range(nx)] for i in range(nx)]
-    Bm = [[B_ref[0, 0, i * nu + j] for j in range(nu)] for i in range(nx)]
-    K = [[K_ref[0, 0, i * nx + j] for j in range(nx)] for i in range(nu)]
-    p = [p_scr[i] for i in range(nx)]
-
-    # tmp = p + P_{k+1} c_k, with the product precomputed by the factor pass.
-    tmp = [p[i] + Pc_ref[0, 0, i] for i in range(nx)]
-    qu_bar = [qu_ref[0, 0, i] + sum(Bm[m][i] * tmp[m] for m in range(nx))
-              for i in range(nu)]
-    L = {}
-    idx = 0
-    for i in range(nu):
-        for j in range(i + 1):
-            L[(i, j)] = L_ref[0, 0, idx]
-            idx += 1
-    sol = _chol_solve_entries(L, [qu_bar], nu)[0]
-    for i in range(nx):
-        p_scr[i] = (qx_ref[0, 0, i]
-                    + sum(A[m][i] * tmp[m] for m in range(nx))
-                    + sum(K[m][i] * qu_bar[m] for m in range(nu)))
-    for i in range(nu):
-        kff_ref[0, 0, i] = -sol[i]
-
-
-def riccati_solve_bwd_tiled(At, Bt, Kt, Lt, Pct, qxt, qut, nx, nu):
-    """Backward vector recursion, tiled in/out.
-
-    qxt: [G, N+1, nx, 8, 128] (row N = terminal gradient).
-    Returns kfft [G, N, nu, 8, 128].
-    """
-    G, N = At.shape[0], At.shape[1]
-    ntri = nu * (nu + 1) // 2
-    dtype = At.dtype
-
-    def rev(b, k):
-        return (b, N - 1 - k, 0, 0, 0)
-
-    def rowN(b, k):
-        return (b, N, 0, 0, 0)
-
-    bwd = functools.partial(_solve_bwd_c_kernel, nx, nu, N)
-    (kfft,) = _pallas_call(
-        bwd,
-        grid=(G, N),
-        in_specs=[
-            pl.BlockSpec((1, 1, nx * nx, _SB, 128), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nx * nu, _SB, 128), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nu * nx, _SB, 128), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ntri, _SB, 128), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nx, _SB, 128), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nx, _SB, 128), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nu, _SB, 128), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nx, _SB, 128), rowN, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, nu, _SB, 128), rev, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((G, N, nu, _SB, 128), dtype)],
-        scratch_shapes=[pltpu.VMEM((nx, _SB, 128), dtype)],
-    )(At, Bt, Kt, Lt, Pct, qxt, qut, qxt)
-    return kfft
-
-
-def _solve_fwd_ftb_kernel(nx, nu, N, idxbx, idxbu, tau,
-                          A_ref, B_ref, K_ref, kff_ref, c_ref, dx0_ref,
-                          sxl_ref, sxu_ref, sul_ref, suu_ref,
-                          lxl_ref, lxu_ref, lul_ref, luu_ref,
-                          rpxl_ref, rpxu_ref, rpul_ref, rpuu_ref,
-                          lexl_ref, lexu_ref, leul_ref, leuu_ref,
-                          dxs_ref, dus_ref, dxN_ref,
-                          dsxl_ref, dsxu_ref, dsul_ref, dsuu_ref,
-                          dlxl_ref, dlxu_ref, dlul_ref, dluu_ref,
-                          alpha_ref,
-                          dx_scr, ratio_scr):
-    kk = pl.program_id(1)  # forward: stage k = kk
-    nbx, nbu = len(idxbx), len(idxbu)
-    big = jnp.asarray(3.4e38, dx0_ref.dtype)
-
-    @pl.when(kk == 0)
-    def _init():
-        for i in range(nx):
-            dx_scr[i] = dx0_ref[0, 0, i]
-        ratio_scr[0] = jnp.full((_SB, 128), big, dx0_ref.dtype)
-
-    A = [[A_ref[0, 0, i * nx + j] for j in range(nx)] for i in range(nx)]
-    Bm = [[B_ref[0, 0, i * nu + j] for j in range(nu)] for i in range(nx)]
-    K = [[K_ref[0, 0, i * nx + j] for j in range(nx)] for i in range(nu)]
-    dx = [dx_scr[i] for i in range(nx)]
-
-    du = [kff_ref[0, 0, i] + sum(K[i][m] * dx[m] for m in range(nx))
-          for i in range(nu)]
-    dx_next = [c_ref[0, 0, i]
-               + sum(A[i][m] * dx[m] for m in range(nx))
-               + sum(Bm[i][m] * du[m] for m in range(nu))
-               for i in range(nx)]
-
-    for i in range(nx):
-        dxs_ref[0, 0, i] = dx[i]
-        dxN_ref[0, 0, i] = dx_next[i]    # constant index map: final write = dx_N
-        dx_scr[i] = dx_next[i]
-    for i in range(nu):
-        dus_ref[0, 0, i] = du[i]
-
-    # Slack/multiplier deltas + running fraction-to-boundary min, all from
-    # quantities already resident in VMEM.  x bounds apply to stages 1..N
-    # (tensor index k <-> stage k+1 = dx_next); u bounds to stage k = du.
-    m = ratio_scr[0]
-
-    def ratio(v, dv):
-        return jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), big)
-
-    for b in range(nbx):
-        dz = dx_next[idxbx[b]]
-        s_l, s_u = sxl_ref[0, 0, b], sxu_ref[0, 0, b]
-        l_l, l_u = lxl_ref[0, 0, b], lxu_ref[0, 0, b]
-        ds_l = rpxl_ref[0, 0, b] + dz
-        ds_u = rpxu_ref[0, 0, b] - dz
-        dl_l = -(l_l / s_l) * dz + lexl_ref[0, 0, b] - l_l
-        dl_u = (l_u / s_u) * dz + lexu_ref[0, 0, b] - l_u
-        dsxl_ref[0, 0, b] = ds_l
-        dsxu_ref[0, 0, b] = ds_u
-        dlxl_ref[0, 0, b] = dl_l
-        dlxu_ref[0, 0, b] = dl_u
-        for v, dv in ((s_l, ds_l), (s_u, ds_u), (l_l, dl_l), (l_u, dl_u)):
-            m = jnp.minimum(m, ratio(v, dv))
-    for b in range(nbu):
-        dz = du[idxbu[b]]
-        s_l, s_u = sul_ref[0, 0, b], suu_ref[0, 0, b]
-        l_l, l_u = lul_ref[0, 0, b], luu_ref[0, 0, b]
-        ds_l = rpul_ref[0, 0, b] + dz
-        ds_u = rpuu_ref[0, 0, b] - dz
-        dl_l = -(l_l / s_l) * dz + leul_ref[0, 0, b] - l_l
-        dl_u = (l_u / s_u) * dz + leuu_ref[0, 0, b] - l_u
-        dsul_ref[0, 0, b] = ds_l
-        dsuu_ref[0, 0, b] = ds_u
-        dlul_ref[0, 0, b] = dl_l
-        dluu_ref[0, 0, b] = dl_u
-        for v, dv in ((s_l, ds_l), (s_u, ds_u), (l_l, dl_l), (l_u, dl_u)):
-            m = jnp.minimum(m, ratio(v, dv))
-
-    ratio_scr[0] = m
-    # Constant index map: the last grid step's value is the per-lane alpha.
-    alpha_ref[0, 0, 0] = jnp.minimum(jnp.ones_like(m), tau * m)
-
-
-def riccati_solve_fwd_ftb_tiled(At, Bt, Kt, kfft, ct, dx0t,
-                                s_xl, s_xu, s_ul, s_uu,
-                                l_xl, l_xu, l_ul, l_uu,
-                                rp_xl, rp_xu, rp_ul, rp_uu,
-                                le_xl, le_xu, le_ul, le_uu,
-                                idxbx, idxbu, tau, nx, nu):
-    """Forward rollout fused with the IPM's slack/multiplier deltas and the
-    per-lane fraction-to-boundary step length.
-
-    All bound tensors are [G, N, nb, 8, 128]; returns
-    (dxst rows 0..N-1, dust, dxNt [G,1,nx,...],
-     ds_xl, ds_xu, ds_ul, ds_uu, dl_xl, dl_xu, dl_ul, dl_uu,
-     alphat [G, 1, 1, 8, 128]).
-    """
-    G, N = At.shape[0], At.shape[1]
-    dtype = At.dtype
-    nbx, nbu = len(idxbx), len(idxbu)
-
-    def fwd_map(b, k):
-        return (b, k, 0, 0, 0)
-
-    def fix0(b, k):
-        return (b, 0, 0, 0, 0)
-
-    def spec(e, mp=fwd_map):
-        return pl.BlockSpec((1, 1, e, _SB, 128), mp, memory_space=pltpu.VMEM)
-
-    kern = functools.partial(
-        _solve_fwd_ftb_kernel, nx, nu, N, tuple(idxbx), tuple(idxbu),
-        float(tau),
-    )
-    outs = _pallas_call(
-        kern,
-        grid=(G, N),
-        in_specs=[
-            spec(nx * nx), spec(nx * nu), spec(nu * nx), spec(nu), spec(nx),
-            spec(nx, fix0),
-            spec(nbx), spec(nbx), spec(nbu), spec(nbu),
-            spec(nbx), spec(nbx), spec(nbu), spec(nbu),
-            spec(nbx), spec(nbx), spec(nbu), spec(nbu),
-            spec(nbx), spec(nbx), spec(nbu), spec(nbu),
-        ],
-        out_specs=[
-            spec(nx), spec(nu), spec(nx, fix0),
-            spec(nbx), spec(nbx), spec(nbu), spec(nbu),
-            spec(nbx), spec(nbx), spec(nbu), spec(nbu),
-            spec(1, fix0),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((G, N, nx, _SB, 128), dtype),
-            jax.ShapeDtypeStruct((G, N, nu, _SB, 128), dtype),
-            jax.ShapeDtypeStruct((G, 1, nx, _SB, 128), dtype),
-            jax.ShapeDtypeStruct((G, N, nbx, _SB, 128), dtype),
-            jax.ShapeDtypeStruct((G, N, nbx, _SB, 128), dtype),
-            jax.ShapeDtypeStruct((G, N, nbu, _SB, 128), dtype),
-            jax.ShapeDtypeStruct((G, N, nbu, _SB, 128), dtype),
-            jax.ShapeDtypeStruct((G, N, nbx, _SB, 128), dtype),
-            jax.ShapeDtypeStruct((G, N, nbx, _SB, 128), dtype),
-            jax.ShapeDtypeStruct((G, N, nbu, _SB, 128), dtype),
-            jax.ShapeDtypeStruct((G, N, nbu, _SB, 128), dtype),
-            jax.ShapeDtypeStruct((G, 1, 1, _SB, 128), dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((nx, _SB, 128), dtype),
-            pltpu.VMEM((1, _SB, 128), dtype),
-        ],
-    )(At, Bt, Kt, kfft, ct, dx0t,
-      s_xl, s_xu, s_ul, s_uu,
-      l_xl, l_xu, l_ul, l_uu,
-      rp_xl, rp_xu, rp_ul, rp_uu,
-      le_xl, le_xu, le_ul, le_uu)
-    return outs
-
-
-def riccati_solve_fwd_tiled(At, Bt, Kt, kfft, ct, dx0t, nx, nu):
-    """Forward rollout, tiled in/out.
-
-    dx0t: [G, 1, nx, 8, 128].
-    Returns (dxst [G, N, nx, 8, 128] = dx_0..dx_{N-1}, dust [G, N, nu, 8, 128]).
-    The caller computes dx_N from the last stage (one tiled matvec).
-    """
-    G, N = At.shape[0], At.shape[1]
-    dtype = At.dtype
-
-    def fwd_map(b, k):
-        return (b, k, 0, 0, 0)
-
-    def fix0(b, k):
-        return (b, 0, 0, 0, 0)
-
-    fwd = functools.partial(_solve_fwd_kernel, nx, nu, N)
-    dxst, dust = _pallas_call(
-        fwd,
-        grid=(G, N),
-        in_specs=[
-            pl.BlockSpec((1, 1, nx * nx, _SB, 128), fwd_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nx * nu, _SB, 128), fwd_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nu * nx, _SB, 128), fwd_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nu, _SB, 128), fwd_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nx, _SB, 128), fwd_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nx, _SB, 128), fix0, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, nx, _SB, 128), fwd_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, nu, _SB, 128), fwd_map, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((G, N, nx, _SB, 128), dtype),
-            jax.ShapeDtypeStruct((G, N, nu, _SB, 128), dtype),
-        ],
-        scratch_shapes=[pltpu.VMEM((nx, _SB, 128), dtype)],
-    )(At, Bt, Kt, kfft, ct, dx0t)
-    return dxst, dust

@@ -5,6 +5,10 @@ from nmpc_nav_control_tpu.parallel.multihost import (
     local_batch,
     local_to_global,
 )
+from nmpc_nav_control_tpu.parallel.mesh2d import (
+    qp_2d_shardings,
+    solve_box_qp_2d,
+)
 from nmpc_nav_control_tpu.parallel.sharding import (
     make_mesh,
     replicate,
@@ -15,6 +19,8 @@ __all__ = [
     "make_mesh",
     "replicate",
     "shard_leading_axis",
+    "solve_box_qp_2d",
+    "qp_2d_shardings",
     "init_distributed",
     "global_data_mesh",
     "local_batch",

@@ -105,8 +105,13 @@ def solve_box_qp(
     reg: float = 1e-8,
     mu_min: float | None = None,
     stage_parallel: bool = False,
+    spars=None,
 ) -> IPMSolution:
     """Solve the stagewise box QP. ``idxbx``/``idxbu`` are static index tuples.
+
+    ``spars``: optional static (A_pattern, B_pattern) structural-nonzero
+    masks exploited by the fused TPU kernels; must OVER-approximate the true
+    nonzeros of qp.A/qp.B.  Ignored on the generic (non-tiled) path.
 
     Fixed ``iters`` Mehrotra iterations; one Riccati factorization and two
     vector solves per iteration.  Under a full scenario-batch ``vmap`` on TPU
@@ -127,15 +132,17 @@ def solve_box_qp(
         int(iters), float(tau), float(mu0), float(s_min), float(reg),
         None if mu_min is None else float(mu_min),
         bool(stage_parallel),
+        spars,
     )
     return solver(qp)
 
 
 def _make_solver(idxbx, idxbu, iters, tau, mu0, s_min, reg, mu_min,
-                 stage_parallel=False):
+                 stage_parallel=False, spars=None):
     import functools
 
-    key = (idxbx, idxbu, iters, tau, mu0, s_min, reg, mu_min, stage_parallel)
+    key = (idxbx, idxbu, iters, tau, mu0, s_min, reg, mu_min, stage_parallel,
+           spars)
     cached = _SOLVER_CACHE.get(key)
     if cached is not None:
         return cached
@@ -152,10 +159,17 @@ def _make_solver(idxbx, idxbu, iters, tau, mu0, s_min, reg, mu_min,
 
     @solve.def_vmap
     def _rule(axis_size, in_batched, qp):
+        from nmpc_nav_control_tpu.ops.pallas_riccati import BT
+
         out_batched = IPMSolution(*([True] * len(IPMSolution._fields)))
         qp_batched = in_batched[0]
         nx, nu = qp.B.shape[-2], qp.B.shape[-1]
-        if not stage_parallel and _tiled_ipm_ok(nx, nu, axis_size, qp.A.dtype):
+        # Small/ragged batches are padded up to a whole 1024-lane batch tile
+        # by edge-replicating the last problem: a single 40 Hz robot (the
+        # reference's actual workload, ``NMPCNavControlROS.cpp:36-41``) rides
+        # the same fused kernels as the 4096-scenario fleet.
+        padded = -(-axis_size // BT) * BT
+        if not stage_parallel and _tiled_ipm_ok(nx, nu, padded, qp.A.dtype):
             from nmpc_nav_control_tpu.qp.ipm_tiled import solve_box_qp_tiled
 
             # Broadcast any lane-constant leaves (e.g. an unbatched Rd when
@@ -167,10 +181,21 @@ def _make_solver(idxbx, idxbu, iters, tau, mu0, s_min, reg, mu_min,
                 ),
                 qp, qp_batched,
             )
+            if padded != axis_size:
+                qp_full = jax.tree_util.tree_map(
+                    lambda x: jnp.pad(
+                        x,
+                        [(0, padded - axis_size)] + [(0, 0)] * (x.ndim - 1),
+                        mode="edge",
+                    ),
+                    qp_full,
+                )
             sol = solve_box_qp_tiled(
                 qp_full, idxbx, idxbu, iters=iters, tau=tau, mu0=mu0,
-                s_min=s_min, reg=reg, mu_min=mu_min,
+                s_min=s_min, reg=reg, mu_min=mu_min, spars=spars,
             )
+            if padded != axis_size:
+                sol = jax.tree_util.tree_map(lambda x: x[:axis_size], sol)
             return sol, out_batched
         axes = jax.tree_util.tree_map(lambda b: 0 if b else None, qp_batched)
         out = jax.vmap(serial, in_axes=(axes,))(qp)

@@ -42,13 +42,19 @@ __all__ = ["RTIConfig", "RTIState", "RTIStats", "rti_init", "rti_reset", "rti_st
 
 @dataclasses.dataclass(frozen=True)
 class RTIConfig:
-    """Static RTI solver configuration."""
+    """Static RTI solver configuration.
+
+    ``spars``: optional static (A_pattern, B_pattern) structural-nonzero
+    masks of the stage Jacobians (``ocp.sparsity.detect_jacobian_sparsity``),
+    exploited by the fused TPU IPM kernels; None = dense.
+    """
 
     dims: OCPDims
     ipm_iters: int = 8
     adaptive_terminal_weight: bool = False  # the diff-only x100 pose-weight hack
     adaptive_terminal_scale: float = 100.0
     ipm_reg: float = 1e-8
+    spars: tuple | None = None
 
 
 class RTIState(NamedTuple):
@@ -197,7 +203,7 @@ def rti_step(
     )
     sol = solve_box_qp(
         qp, model.idxbx, model.idxbu,
-        iters=config.ipm_iters, reg=config.ipm_reg,
+        iters=config.ipm_iters, reg=config.ipm_reg, spars=config.spars,
     )
 
     # --- Expand. ---

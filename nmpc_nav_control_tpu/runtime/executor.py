@@ -18,10 +18,14 @@ __all__ = ["StateProvider", "CommandSink", "RealTimeExecutor"]
 
 
 class StateProvider(Protocol):
-    """Supplies robot state each cycle (the tf2 boundary)."""
+    """Supplies robot state each cycle (the tf2 boundary).
+
+    ``get_state`` returns (pose (x,y,theta), vel (v,vn,w), valid: bool) or a
+    4-tuple that appends the pose's frame_id (the node re-expresses it into
+    the required frame via its ``frame_transformer`` hook)."""
 
     def get_state(self) -> tuple:
-        """Returns (pose (x,y,theta), vel (v,vn,w), valid: bool)."""
+        """Returns (pose, vel, valid[, frame_id])."""
         ...
 
 
@@ -61,13 +65,20 @@ class RealTimeExecutor:
 
     def _cycle(self):
         with self.latency.measure():
-            pose, vel, valid = self.provider.get_state()
+            state = self.provider.get_state()
+            pose, vel, valid = state[:3]
+            frame = state[3] if len(state) > 3 else None
             twist, status = self.node.tick(
-                pose, vel, pose_valid=valid, vel_valid=valid
+                pose, vel, pose_valid=valid, vel_valid=valid,
+                pose_frame=frame,
             )
             if twist is not None:
                 self.sink.publish_cmd_vel(twist)
             self.sink.publish_status(status)
+            if self.node.last_actual_path is not None:
+                pub = getattr(self.sink, "publish_actual_path", None)
+                if pub is not None:
+                    pub(self.node.last_actual_path)
 
     def run(self, cycles: int) -> None:
         if self._native_timer is not None:

@@ -19,7 +19,10 @@ import math
 
 from nmpc_nav_control_tpu.utils import norm_ang_rad as _norm_ang_rad_jnp
 
-__all__ = ["StampedPose", "unwrap_pose_theta", "velocity_from_poses", "pose_is_fresh"]
+__all__ = [
+    "StampedPose", "unwrap_pose_theta", "velocity_from_poses",
+    "pose_is_fresh", "TfStateProvider",
+]
 
 
 @dataclasses.dataclass
@@ -78,3 +81,58 @@ def velocity_from_poses(p1: StampedPose, p2: StampedPose,
     vn = vx_g * sin_y + vy_g * cos_y
     w = dyaw / dt
     return (v, vn, w), True
+
+
+class TfStateProvider:
+    """``StateProvider`` built on raw stamped poses: the full
+    ``getRobotPose``/``getRobotVel`` parity layer wired into the executor
+    loop (reference ``NMPCNavControlROS.cpp:401-484``).
+
+    Per cycle it (a) applies the theta-unwrap hack against the previous
+    tick's theta, (b) gates on pose staleness vs ``transform_timeout``, and
+    (c) computes the body velocity by finite-differencing the previous and
+    current stamped poses with the mid-yaw rotation — exactly how the
+    reference estimates velocity from TF (it never consumes a measured
+    twist).  The first cycle is invalid (no previous pose, matching the
+    failing t-dt lookup).
+
+    Args:
+      pose_source: callable -> ``StampedPose`` or ``(StampedPose, frame_id)``.
+      transform_timeout: staleness limit in seconds (``transform_timeout``).
+      clock: optional "now" supplier for the staleness gate; defaults to the
+        pose's own stamp (always fresh — e.g. a lock-stepped simulator).
+    """
+
+    def __init__(self, pose_source, transform_timeout: float = 0.2,
+                 clock=None):
+        self.pose_source = pose_source
+        self.transform_timeout = transform_timeout
+        self.clock = clock
+        self._last_theta = 0.0
+        self._prev: StampedPose | None = None
+
+    def get_state(self):
+        out = self.pose_source()
+        frame = None
+        if isinstance(out, tuple):
+            sp, frame = out
+        else:
+            sp = out
+        now = self.clock() if self.clock is not None else sp.t
+        theta_u = unwrap_pose_theta(sp.theta, self._last_theta)
+        self._last_theta = theta_u
+        sp_u = StampedPose(t=sp.t, x=sp.x, y=sp.y, theta=theta_u)
+        valid = pose_is_fresh(sp.t, now, self.transform_timeout)
+        vel = (0.0, 0.0, 0.0)
+        if self._prev is not None:
+            vel, vel_valid = velocity_from_poses(
+                self._prev, sp_u, self.transform_timeout
+            )
+            valid = valid and vel_valid
+        else:
+            valid = False
+        self._prev = sp_u
+        pose = (sp_u.x, sp_u.y, theta_u)
+        if frame is None:
+            return pose, vel, valid
+        return pose, vel, valid, frame

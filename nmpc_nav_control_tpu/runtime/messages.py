@@ -30,7 +30,7 @@ from nmpc_nav_control_tpu.paths.segment import DEG, PathSegment, seg_arc_length
 __all__ = [
     "PoseStamped", "Twist", "ParametricPath", "ParametricPathSet",
     "ParametricPathSet2", "ControlStatus", "PosePath", "FrameTable",
-    "decode_path_set",
+    "decode_path_set", "encode_path", "encode_path_set",
 ]
 
 
@@ -136,3 +136,28 @@ def decode_path_set(msg: ParametricPathSet, frames: FrameTable, capacity: int,
         length=lengths.astype(dtype),
     )
     return segs, n
+
+
+def encode_path(cx, cy, ch, velocity, frame_code, frames: FrameTable
+                ) -> ParametricPath:
+    """``TPathRosDecode::toRos`` analog: one curve's arrays -> message
+    payload (used by the ``actual_path`` re-publication,
+    ``NMPCNavControlROS.cpp:390-399``)."""
+    return ParametricPath(
+        frame_id=frames.name(int(frame_code)),
+        cx=[float(v) for v in np.asarray(cx)],
+        cy=[float(v) for v in np.asarray(cy)],
+        ch=[float(v) for v in np.asarray(ch)],
+        velocity=float(velocity),
+    )
+
+
+def encode_path_set(cx, cy, ch, velocity, frame_code, frames: FrameTable,
+                    aux_num0: float) -> ParametricPathSet:
+    """``pubActualPath`` payload: the front active curve as a one-element
+    ``ParametricPathSet`` with ``AuxNum0`` = the fractional path parameter u
+    (``NMPCNavControlROS.cpp:390-399``)."""
+    return ParametricPathSet(
+        paths=[encode_path(cx, cy, ch, velocity, frame_code, frames)],
+        aux_num0=float(aux_num0),
+    )

@@ -44,6 +44,7 @@ from nmpc_nav_control_tpu.runtime.messages import (
     PoseStamped,
     Twist,
     decode_path_set,
+    encode_path_set,
 )
 
 __all__ = ["NmpcNavControlNode"]
@@ -60,7 +61,19 @@ class NmpcNavControlNode:
         self.debug_outputs = debug_outputs
         self.last_debug_path = None      # [N+1, 3] poses (pubDebugDiscretizedPath)
         self.last_actual_path_u = 0.0    # AuxNum0 of the actual_path topic
+        # actual_path re-publication: the front active curve + AuxNum0 = u,
+        # refreshed on every solving FollowPath tick (``pubActualPath``,
+        # ``NMPCNavControlROS.cpp:390-399,696``); None when not published.
+        self.last_actual_path: Optional[ParametricPathSet] = None
         self.frames = FrameTable()
+        # Frame-transform hook (the tf2 lookup boundary): callable
+        # (pose (x,y,theta), from_frame, to_frame) -> pose or None on
+        # failure.  The reference re-acquires the pose in the frame of the
+        # goal / the front active curve every tick (``mainCycle``,
+        # ``:520-524``); with this hook a window rotating into a new
+        # frame_id re-expresses the measured pose the same way.
+        self.frame_transformer = None
+        self._required_frame = config.global_frame_id
         self.spec, self.data = make_controller(
             config.steering_geometry,
             config.dt,
@@ -91,9 +104,11 @@ class NmpcNavControlNode:
     # ------------------------------------------------------------------ #
 
     def on_pose_goal(self, msg: PoseStamped) -> None:
-        """``goalPoseReceivedCallback`` (``:304-310``)."""
+        """``goalPoseReceivedCallback`` (``:304-310``).  GoToPose ticks
+        acquire the pose in the GOAL's frame (``mainCycle``, ``:520``)."""
         goal = jnp.asarray([msg.x, msg.y, msg.theta], self.dtype)
         self.state = on_goal_pose(self.state, goal)
+        self._required_frame = msg.frame_id or self.config.global_frame_id
 
     def on_path_no_stack_up(self, msg: ParametricPathSet) -> None:
         """v1 path topic: request_id forced to 0 (``:312-317``)."""
@@ -111,6 +126,12 @@ class NmpcNavControlNode:
             self.dtype,
         )
         self.state = on_path_set(self.state, self.cfg, segs, n, request_id)
+        # FollowPath ticks acquire the pose in the FRONT ACTIVE curve's frame
+        # (``mainCycle``, ``:523``) — the first valid segment after ingest.
+        for p in paths:
+            if p.frame_id:
+                self._required_frame = p.frame_id
+                break
 
     def on_control_command(self, command: str) -> bool:
         """``controlCommandReceivedCallback`` (``:329-336``).  Returns False
@@ -128,15 +149,37 @@ class NmpcNavControlNode:
     # Control cycle
     # ------------------------------------------------------------------ #
 
+    def required_frame(self) -> str:
+        """Frame the measured pose must be expressed in this tick (goal frame
+        in GoToPose, front active curve's frame in FollowPath — ``mainCycle``,
+        ``:520-524``)."""
+        return self._required_frame
+
     def tick(self, pose, vel, pose_valid=True, vel_valid=True,
-             steer_valid=True):
+             steer_valid=True, pose_frame: Optional[str] = None):
         """One control cycle. Returns (Twist | None, ControlStatus).
 
-        ``pose``: (x, y, theta) in the active reference frame;
-        ``vel``: (v, vn, w) body velocity.  A ``None`` Twist means no cmd_vel
-        is published this tick (Idle/Error).
+        ``pose``: (x, y, theta); ``vel``: (v, vn, w) body velocity.  When
+        ``pose_frame`` is given and differs from :meth:`required_frame`, the
+        pose is re-expressed via ``frame_transformer`` (body velocity is
+        frame-independent for static planar frames).  A failed/missing
+        transform invalidates the measurements — the tf2-exception path that
+        drives the reference to Error (``getRobotPose`` catch, ``:431-434``).
+        A ``None`` Twist means no cmd_vel is published this tick (Idle/Error).
         """
         t0 = time.perf_counter()
+        required = self.required_frame()
+        if pose_frame is not None and pose_frame != required:
+            new_pose = None
+            if self.frame_transformer is not None:
+                new_pose = self.frame_transformer(pose, pose_frame, required)
+            if new_pose is None:
+                # Both the pose and velocity lookups fail in the reference
+                # when the transform is unavailable.
+                pose_valid = False
+                vel_valid = False
+            else:
+                pose = new_pose
         meas = Measurements(
             pose=jnp.asarray(pose, self.dtype),
             vel=jnp.asarray(vel, self.dtype),
@@ -173,9 +216,24 @@ class NmpcNavControlNode:
             request_id=int(out.request_id),
             path_remains=float(out.path_remains),
         )
+        # actual_path re-publication (``pubActualPath``, ``:390-399,696``):
+        # front active curve + AuxNum0 = u on every solving FollowPath tick.
+        if bool(out.publish_actual):
+            self.last_actual_path = encode_path_set(
+                out.actual_cx, out.actual_cy, out.actual_ch,
+                out.actual_velocity, out.actual_frame, self.frames,
+                out.active_path_u,
+            )
+        else:
+            self.last_actual_path = None
+        # Track the frame required by the NEXT FollowPath tick (the window
+        # may have rotated into a new frame_id this tick).
+        nf = int(out.next_frame)
+        if nf > 0:
+            self._required_frame = self.frames.name(nf)
         if self.debug_outputs:
-            # debug_discretized_path + actual_path payloads
-            # (``pubDebugDiscretizedPath`` ``:722-738``, ``pubActualPath`` ``:390-399``).
+            # debug_discretized_path payload (``pubDebugDiscretizedPath``,
+            # ``:722-738``).
             self.last_debug_path = (
                 np.asarray(out.debug_path) if bool(out.publish_debug) else None
             )

@@ -39,13 +39,18 @@ class SimulatedRobot:
 
     def __init__(self, node: NmpcNavControlNode, substeps: int = 10,
                  noise_sigma: float = 0.0, seed: int = 0,
-                 start_pose=(0.0, 0.0, 0.0)):
+                 start_pose=(0.0, 0.0, 0.0), meas_noise_sigma: float = 0.0):
         self.node = node
         cfg = node.config
         self.geometry = cfg.steering_geometry
         self.dt = cfg.dt
         self.substeps = substeps
         self.noise_sigma = noise_sigma
+        # State-estimate noise fed back to the solver (the
+        # ``acados_sim_diff_v2.py:158,174`` robustness scenario): the plant
+        # integrates the TRUE state, the controller sees a perturbed one.
+        self.meas_noise_sigma = meas_noise_sigma
+        self.sim_time = 0.0
         self.rng = np.random.default_rng(seed)
         self.tau_v = cfg.tau_v
         self.tau_a = cfg.tau_a
@@ -62,6 +67,8 @@ class SimulatedRobot:
         self.act = np.zeros(n_act)      # lagged actuator states
         self.trajectory = [self.pose.copy()]
         self.statuses: list[ControlStatus] = []
+        self._cmd_seen = False
+        self._last_refs = np.zeros(n_act)
 
     # ------------------------------------------------------------------ #
     # StateProvider
@@ -81,7 +88,29 @@ class SimulatedRobot:
             v, alpha = self.act
             vel = (v, 0.0, v / self.geom_const * math.sin(alpha))
             self.node.set_steering_wheel_angle(alpha)
-        return tuple(self.pose), vel, True
+        pose = tuple(self.pose)
+        if self.meas_noise_sigma:
+            n = self.meas_noise_sigma * self.rng.standard_normal(6)
+            pose = tuple(np.asarray(pose) + n[:3])
+            vel = tuple(np.asarray(vel) + n[3:])
+        return pose, vel, True
+
+    def get_raw_pose(self):
+        """Raw stamped pose with WRAPPED theta, for driving the
+        ``TfStateProvider`` ingest layer (the TF-lookup analog): theta is
+        wrapped into (-pi, pi] like a quaternion yaw, so the provider's
+        unwrap hack is exercised across +-pi crossings."""
+        from nmpc_nav_control_tpu.runtime.ingest import StampedPose
+
+        g = self.geometry
+        if g == "tric":
+            self.node.set_steering_wheel_angle(self.act[1])
+        x, y, th = self.pose
+        if self.meas_noise_sigma:
+            n = self.meas_noise_sigma * self.rng.standard_normal(3)
+            x, y, th = x + n[0], y + n[1], th + n[2]
+        wrapped = math.atan2(math.sin(th), math.cos(th))
+        return StampedPose(t=self.sim_time, x=x, y=y, theta=wrapped)
 
     # ------------------------------------------------------------------ #
     # CommandSink
@@ -108,10 +137,19 @@ class SimulatedRobot:
             refs = np.array([v, w])  # (v_ref, alpha_ref)
         if self.noise_sigma:
             refs = refs + self.noise_sigma * self.rng.standard_normal(refs.shape)
+        self._cmd_seen = True
+        self._last_refs = refs
         self._integrate(refs)
 
     def publish_status(self, status: ControlStatus) -> None:
         self.statuses.append(status)
+        # Physical time passes even on ticks that publish no command
+        # (Idle/Error): coast the plant toward the LAST commanded references
+        # (zero after a stop command) so stamped poses keep advancing (the
+        # TF stream never pauses).
+        if not self._cmd_seen:
+            self._integrate(self._last_refs)
+        self._cmd_seen = False
 
     # ------------------------------------------------------------------ #
 
@@ -147,6 +185,7 @@ class SimulatedRobot:
                 self.act[0] += (refs[0] - v) / self.tau_v * h
                 self.act[1] += (refs[1] - alpha) / self.tau_a * h
         self.pose[:] = (x, y, th)
+        self.sim_time += self.dt
         self.trajectory.append(self.pose.copy())
 
     @property

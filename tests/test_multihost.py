@@ -48,6 +48,50 @@ def test_local_global_roundtrip():
     np.testing.assert_array_equal(back["b"], tree["b"])
 
 
+def test_2d_mesh_box_ipm_matches_1d():
+    """One-program (batch x stage) mesh: the full box-IPM with the scenario
+    batch on ``data`` and the horizon on ``stage`` must match the unsharded
+    path lane for lane (sharding changes placement, not numerics).
+    SURVEY.md §2.4 row 3; VERDICT r1 item 4."""
+    from nmpc_nav_control_tpu.parallel import make_mesh, solve_box_qp_2d
+    from nmpc_nav_control_tpu.qp.ipm import BoxQP, solve_box_qp
+
+    mesh = make_mesh((2, 4), ("data", "stage"))
+    B, N, nx, nu = 4, 16, 4, 2
+    idxbx, idxbu = (1, 3), (0, 1)
+    rng = np.random.default_rng(2)
+    A = jnp.asarray(rng.normal(size=(B, N, nx, nx)) * 0.2 + np.eye(nx) * 0.9,
+                    DTYPE)
+    Bm = jnp.asarray(rng.normal(size=(B, N, nx, nu)) * 0.4, DTYPE)
+    qp = BoxQP(
+        A=A, B=Bm,
+        c=jnp.asarray(rng.normal(size=(B, N, nx)) * 0.05, DTYPE),
+        Qd=jnp.asarray(rng.uniform(0.5, 2.0, size=(B, N + 1, nx)), DTYPE),
+        qx=jnp.asarray(rng.normal(size=(B, N + 1, nx)) * 0.5, DTYPE),
+        Rd=jnp.asarray(rng.uniform(0.5, 2.0, size=(B, N, nu)), DTYPE),
+        qu=jnp.asarray(rng.normal(size=(B, N, nu)) * 0.5, DTYPE),
+        dx0=jnp.asarray(rng.normal(size=(B, nx)) * 0.1, DTYPE),
+        lbx=jnp.full((B, N, 2), -1.0, DTYPE),
+        ubx=jnp.full((B, N, 2), 1.0, DTYPE),
+        lbu=jnp.full((B, N, 2), -2.0, DTYPE),
+        ubu=jnp.full((B, N, 2), 2.0, DTYPE),
+    )
+    sol_2d = solve_box_qp_2d(qp, idxbx, idxbu, mesh, iters=12)
+    # Sharded over both axes as annotated.
+    assert sol_2d.dxs.shape == (B, N + 1, nx)
+
+    sol_1d = jax.vmap(
+        lambda q: solve_box_qp(q, idxbx, idxbu, iters=12, stage_parallel=True)
+    )(qp)
+    np.testing.assert_allclose(
+        np.asarray(sol_2d.dxs), np.asarray(sol_1d.dxs), atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(sol_2d.dus), np.asarray(sol_1d.dus), atol=1e-10
+    )
+    assert float(np.max(np.asarray(sol_2d.mu))) < 1e-8
+
+
 def test_fleet_tick_through_multihost_io():
     mesh = global_data_mesh()
     B = 16
