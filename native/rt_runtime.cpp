@@ -48,19 +48,88 @@ struct RtTimer {
     }
 };
 
+// SPSC "lap" ring: the producer owns `head` and ALL slot contents; the
+// consumer owns `tail`.  In overwrite (sensor-stream) mode the producer
+// never touches `tail` — it simply keeps writing and publishing `head`,
+// lapping the consumer; the consumer detects a lap AFTER copying a slot
+// (head moved past slot+capacity during the copy) and retries from the
+// oldest still-valid record.  Slot payloads are copied word-by-word through
+// relaxed atomics, so a copy that races a lapping rewrite is VALIDATED
+// rather than undefined behavior — the whole structure is data-race-free
+// under the C++ memory model and verified clean under ThreadSanitizer by
+// native/rt_runtime_stress.cpp (see tests/test_native.py).
 struct SpscRing {
-    // record layout: int64 timestamp_ns | payload[record_size] bytes
-    size_t record_size;
-    size_t capacity;             // number of records, power of two
-    std::vector<uint8_t> data;
-    std::atomic<uint64_t> head;  // next write slot (producer)
-    std::atomic<uint64_t> tail;  // next read slot (consumer)
+    // slot layout: word 0 = int64 timestamp_ns | payload words
+    size_t record_size;            // payload bytes (API)
+    size_t words_per_slot;         // 1 + ceil(record_size / 8)
+    size_t capacity;               // number of records, power of two
+    std::vector<std::atomic<uint64_t>> data;
+    std::atomic<uint64_t> head;    // next write slot (producer-owned)
+    std::atomic<uint64_t> tail;    // next read slot (consumer-owned)
 
     SpscRing(size_t rec, size_t cap)
-        : record_size(rec), capacity(cap), data(cap * (rec + 8)),
+        : record_size(rec), words_per_slot(1 + (rec + 7) / 8),
+          capacity(cap), data(cap * (1 + (rec + 7) / 8)),
           head(0), tail(0) {}
 
-    size_t slot_bytes() const { return record_size + 8; }
+    std::atomic<uint64_t>* slot(uint64_t idx) {
+        return data.data() + (idx & (capacity - 1)) * words_per_slot;
+    }
+
+    // Producer: fill slot `idx` (relaxed stores; publication order is
+    // provided by the release store of `head` afterwards).
+    void write_slot(uint64_t idx, const uint8_t* payload) {
+        std::atomic<uint64_t>* s = slot(idx);
+        uint64_t w = uint64_t(now_ns());
+        s[0].store(w, std::memory_order_relaxed);
+        size_t full = record_size / 8, rem = record_size % 8;
+        for (size_t i = 0; i < full; ++i) {
+            std::memcpy(&w, payload + i * 8, 8);
+            s[1 + i].store(w, std::memory_order_relaxed);
+        }
+        if (rem) {
+            w = 0;
+            std::memcpy(&w, payload + full * 8, rem);
+            s[1 + full].store(w, std::memory_order_relaxed);
+        }
+    }
+
+    // Consumer: copy slot `idx` (relaxed loads; caller validates after).
+    void read_slot(uint64_t idx, int64_t* ts, uint8_t* payload) {
+        std::atomic<uint64_t>* s = slot(idx);
+        uint64_t w = s[0].load(std::memory_order_relaxed);
+        std::memcpy(ts, &w, 8);
+        size_t full = record_size / 8, rem = record_size % 8;
+        for (size_t i = 0; i < full; ++i) {
+            w = s[1 + i].load(std::memory_order_relaxed);
+            std::memcpy(payload + i * 8, &w, 8);
+        }
+        if (rem) {
+            w = s[1 + full].load(std::memory_order_relaxed);
+            std::memcpy(payload + full * 8, &w, rem);
+        }
+    }
+
+    // Consumer: copy the record at *t (clamped to the oldest still-valid
+    // slot), retrying if the producer laps it mid-copy.  On return *t is
+    // the index actually read and the copy is consistent.
+    //
+    // Lap arithmetic: a published head h means entries < h are complete and
+    // the producer MAY be mid-write of entry h (head is bumped after the
+    // slot write).  Entry t shares a slot with entry t+capacity, so the
+    // copy of entry t is safe only if h < t + capacity — STRICT inequality.
+    void read_validated(uint64_t* t, uint64_t h, int64_t* ts,
+                        uint8_t* payload) {
+        for (;;) {
+            if (h - *t >= capacity) *t = h - capacity + 1;
+            read_slot(*t, ts, payload);
+            // Order the payload loads before the re-check of head.
+            std::atomic_thread_fence(std::memory_order_acquire);
+            uint64_t h2 = head.load(std::memory_order_acquire);
+            if (h2 - *t < capacity) return;  // not lapped during the copy
+            h = h2;
+        }
+    }
 };
 
 }  // namespace
@@ -120,8 +189,9 @@ void rt_timer_jitter_stats(void* tp, int64_t* out) {
 // ------------------------------ spsc_ring -------------------------------- //
 
 void* ring_create(int64_t record_size, int64_t capacity_pow2) {
-    // capacity must be a power of two (masked indexing).
-    if (capacity_pow2 <= 0 || (capacity_pow2 & (capacity_pow2 - 1)) != 0)
+    // capacity must be a power of two >= 2 (masked indexing; the validated
+    // read needs at least one slot of lap margin).
+    if (capacity_pow2 < 2 || (capacity_pow2 & (capacity_pow2 - 1)) != 0)
         return nullptr;
     return new SpscRing(size_t(record_size), size_t(capacity_pow2));
 }
@@ -130,44 +200,40 @@ void ring_destroy(void* r) { delete static_cast<SpscRing*>(r); }
 
 // Producer: push one record (timestamped now).  Returns 1 on success,
 // 0 if the ring is full (record dropped — freshest-wins policy is the
-// caller's choice via ring_push_overwrite).
+// caller's choice via ring_push_overwrite).  Keeps one slot of headroom
+// (capacity-1 records usable): the consumer's validated read treats a slot
+// with head - slot >= capacity as potentially mid-rewrite, so a bounded
+// producer must never let a live record reach that distance.
 int ring_push(void* rp, const uint8_t* payload) {
     SpscRing* r = static_cast<SpscRing*>(rp);
     uint64_t head = r->head.load(std::memory_order_relaxed);
     uint64_t tail = r->tail.load(std::memory_order_acquire);
-    if (head - tail >= r->capacity) return 0;
-    uint8_t* slot = r->data.data() + (head & (r->capacity - 1)) * r->slot_bytes();
-    int64_t ts = now_ns();
-    std::memcpy(slot, &ts, 8);
-    std::memcpy(slot + 8, payload, r->record_size);
+    if (head - tail >= r->capacity - 1) return 0;
+    r->write_slot(head, payload);
     r->head.store(head + 1, std::memory_order_release);
     return 1;
 }
 
 // Producer: push, overwriting the oldest record when full (sensor-stream
-// semantics: the control loop always sees the freshest state).
+// semantics: the control loop always sees the freshest state).  The
+// producer never touches `tail` — it laps the consumer and the consumer's
+// validated reads skip the overwritten records.
 int ring_push_overwrite(void* rp, const uint8_t* payload) {
     SpscRing* r = static_cast<SpscRing*>(rp);
     uint64_t head = r->head.load(std::memory_order_relaxed);
-    uint64_t tail = r->tail.load(std::memory_order_acquire);
-    if (head - tail >= r->capacity) {
-        // Advance tail (drop oldest). Safe for SPSC-with-one-overwriter use.
-        r->tail.store(tail + 1, std::memory_order_release);
-    }
-    return ring_push(rp, payload);
+    r->write_slot(head, payload);
+    r->head.store(head + 1, std::memory_order_release);
+    return 1;
 }
 
-// Consumer: pop the oldest record.  Returns 1 and fills (timestamp_ns,
-// payload) on success; 0 when empty.
+// Consumer: pop the oldest still-valid record.  Returns 1 and fills
+// (timestamp_ns, payload) on success; 0 when empty.
 int ring_pop(void* rp, int64_t* timestamp_ns, uint8_t* payload) {
     SpscRing* r = static_cast<SpscRing*>(rp);
     uint64_t tail = r->tail.load(std::memory_order_relaxed);
     uint64_t head = r->head.load(std::memory_order_acquire);
     if (tail == head) return 0;
-    const uint8_t* slot =
-        r->data.data() + (tail & (r->capacity - 1)) * r->slot_bytes();
-    std::memcpy(timestamp_ns, slot, 8);
-    std::memcpy(payload, slot + 8, r->record_size);
+    r->read_validated(&tail, head, timestamp_ns, payload);
     r->tail.store(tail + 1, std::memory_order_release);
     return 1;
 }
@@ -179,19 +245,26 @@ int64_t ring_pop_latest(void* rp, int64_t* timestamp_ns, uint8_t* payload) {
     uint64_t tail = r->tail.load(std::memory_order_relaxed);
     uint64_t head = r->head.load(std::memory_order_acquire);
     if (tail == head) return -1;
-    uint64_t last = head - 1;
-    const uint8_t* slot =
-        r->data.data() + (last & (r->capacity - 1)) * r->slot_bytes();
-    std::memcpy(timestamp_ns, slot, 8);
-    std::memcpy(payload, slot + 8, r->record_size);
-    r->tail.store(head, std::memory_order_release);
-    return int64_t(last - tail);
+    uint64_t oldest =
+        (head - tail >= r->capacity) ? head - r->capacity + 1 : tail;
+    uint64_t last;
+    for (;;) {
+        last = head - 1;  // freshest published record
+        r->read_slot(last, timestamp_ns, payload);
+        std::atomic_thread_fence(std::memory_order_acquire);
+        uint64_t h2 = r->head.load(std::memory_order_acquire);
+        if (h2 - last < r->capacity) break;  // not lapped during the copy
+        head = h2;                           // retry at the new freshest
+    }
+    r->tail.store(last + 1, std::memory_order_release);
+    return int64_t(last - oldest);
 }
 
 int64_t ring_size(void* rp) {
     SpscRing* r = static_cast<SpscRing*>(rp);
-    return int64_t(r->head.load(std::memory_order_acquire) -
-                   r->tail.load(std::memory_order_acquire));
+    uint64_t n = r->head.load(std::memory_order_acquire) -
+                 r->tail.load(std::memory_order_acquire);
+    return int64_t(n > r->capacity ? r->capacity : n);
 }
 
 int64_t rt_now_ns() { return now_ns(); }

@@ -49,6 +49,14 @@ def cmd_prepare(args) -> int:
 
 def cmd_run(args) -> int:
     _enable_persistent_cache()
+    import logging
+
+    from nmpc_nav_control_tpu.utils.telemetry import configure, metrics
+
+    # Structured JSON-lines logs to stderr (the host opts in; the library
+    # never configures logging on import).  --log-level debug turns on the
+    # per-tick main_cycle/nmpc_solver channels.
+    configure(level=getattr(logging, args.log_level.upper()))
     from nmpc_nav_control_tpu.runtime import (
         NmpcNavControlNode,
         ParametricPath,
@@ -107,6 +115,10 @@ def cmd_run(args) -> int:
         print(f"cycles={stats['cycles']} p50={stats['p50_ms']:.1f}ms "
               f"p99={stats['p99_ms']:.1f}ms budget={stats['budget_ms']:.0f}ms "
               f"overruns={executor.overruns}")
+    if args.metrics:
+        import json
+
+        print("metrics: " + json.dumps(metrics().snapshot()))
     if args.goal is not None and args.path is None:
         err = math.hypot(robot.pose[0] - args.goal[0],
                          robot.pose[1] - args.goal[1])
@@ -153,6 +165,12 @@ def main(argv=None) -> int:
                    help="actuation noise sigma")
     p.add_argument("--no-rt", action="store_true",
                    help="Python timer instead of the native RT timer")
+    p.add_argument("--log-level", default="info",
+                   choices=["debug", "info", "warning", "error"],
+                   help="structured-log level (debug enables the per-tick "
+                        "main_cycle/nmpc_solver channels)")
+    p.add_argument("--metrics", action="store_true",
+                   help="dump the metrics-registry snapshot at exit")
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("bench", help="headline throughput benchmark")

@@ -13,8 +13,11 @@ from typing import Callable, Optional, Protocol
 from nmpc_nav_control_tpu.runtime.messages import ControlStatus, Twist
 from nmpc_nav_control_tpu.runtime.node import NmpcNavControlNode
 from nmpc_nav_control_tpu.utils.profiling import LatencyStats
+from nmpc_nav_control_tpu.utils.telemetry import channel, metrics
 
 __all__ = ["StateProvider", "CommandSink", "RealTimeExecutor"]
+
+_log = channel("executor")
 
 
 class StateProvider(Protocol):
@@ -95,9 +98,19 @@ class RealTimeExecutor:
             late_ns = t.wait()
             if t.overruns > overruns0:
                 overruns0 = t.overruns
-                self.overruns += 1
-                if self.on_overrun is not None:
-                    self.on_overrun(late_ns * 1e-9)
+                self._note_overrun(late_ns * 1e-9)
+
+    def _note_overrun(self, late_s: float) -> None:
+        """Overrun accounting: counter + structured warning + user hook
+        (ros::Timer logs nothing on slow callbacks; a production controller
+        must)."""
+        self.overruns += 1
+        metrics().counter("executor.overruns").inc()
+        _log.warning("cycle_overrun", late_ms=round(late_s * 1e3, 3),
+                     period_ms=round(self.period * 1e3, 3),
+                     total_overruns=self.overruns)
+        if self.on_overrun is not None:
+            self.on_overrun(late_s)
 
     def timer_stats(self) -> dict:
         if self._native_timer is None:
@@ -114,9 +127,7 @@ class RealTimeExecutor:
             self._cycle()
             now = time.perf_counter()
             if now > next_deadline:
-                self.overruns += 1
-                if self.on_overrun is not None:
-                    self.on_overrun(now - next_deadline)
+                self._note_overrun(now - next_deadline)
                 next_deadline = now + self.period
             else:
                 time.sleep(next_deadline - now)

@@ -46,8 +46,18 @@ from nmpc_nav_control_tpu.runtime.messages import (
     decode_path_set,
     encode_path_set,
 )
+from nmpc_nav_control_tpu.utils.telemetry import channel, metrics
 
 __all__ = ["NmpcNavControlNode"]
+
+# Structured-log channels, named after the reference's ROS logger channels
+# (``ROS_DEBUG_NAMED("main_cycle", ...)`` at ``NMPCNavControlROS.cpp:513``,
+# ``ROS_DEBUG_NAMED("nmpc_solver", ...)`` at ``:715``; warnings/errors use
+# the node channel like the un-named ROS_WARN/ERROR sites).
+_log_cycle = channel("main_cycle")
+_log_solver = channel("nmpc_solver")
+_log_node = channel("node")
+_STATUS_NAMES = {0: "idle", 1: "working", 2: "error"}
 
 
 class NmpcNavControlNode:
@@ -98,6 +108,8 @@ class NmpcNavControlNode:
         # *measured* angle per the reference quirk). None until a tick
         # publishes.
         self.last_cmd: Optional[tuple] = None
+        self._last_status_code: Optional[int] = None
+        self._metrics = metrics()
 
     # ------------------------------------------------------------------ #
     # Callbacks (subscriber equivalents)
@@ -137,6 +149,8 @@ class NmpcNavControlNode:
         """``controlCommandReceivedCallback`` (``:329-336``).  Returns False
         for an invalid command (the host logs the error)."""
         if command not in ("break", "idle"):
+            # ROS_ERROR for an unknown command string (``:334``).
+            _log_node.error("invalid_control_command", command=command)
             return False
         self.state = on_command(self.state, command)
         return True
@@ -175,7 +189,10 @@ class NmpcNavControlNode:
                 new_pose = self.frame_transformer(pose, pose_frame, required)
             if new_pose is None:
                 # Both the pose and velocity lookups fail in the reference
-                # when the transform is unavailable.
+                # when the transform is unavailable (the tf2-exception warn
+                # path, ``getRobotPose``, ``:431-434``).
+                _log_node.warning("pose_transform_failed",
+                                  from_frame=pose_frame, to_frame=required)
                 pose_valid = False
                 vel_valid = False
             else:
@@ -238,9 +255,34 @@ class NmpcNavControlNode:
                 np.asarray(out.debug_path) if bool(out.publish_debug) else None
             )
             self.last_actual_path_u = float(out.active_path_u)
-        self._cycle_times.append(time.perf_counter() - t0)
-        self._solver_kkt.append(float(out.kkt_res))
+        cycle_s = time.perf_counter() - t0
+        kkt = float(out.kkt_res)
+        self._cycle_times.append(cycle_s)
+        self._solver_kkt.append(kkt)
         self._total_cycles += 1
+
+        # --- Structured logs + metrics (per-tick hot path: guarded debug
+        # logs, GIL-atomic metric updates only). ---
+        m = self._metrics
+        m.counter("node.ticks").inc()
+        if publish:
+            m.counter("node.cmds_published").inc()
+        m.gauge("node.cycle_ms").set(cycle_s * 1e3)
+        m.gauge("node.kkt_res").set(kkt)
+        m.gauge("node.status").set(status.status)
+        if status.status != self._last_status_code:
+            name = _STATUS_NAMES.get(status.status, str(status.status))
+            log = _log_node.warning if status.status == 2 else _log_node.info
+            log("status_change", status=name, request_id=status.request_id,
+                path_remains=round(status.path_remains, 3))
+            if status.status == 2:
+                m.counter("node.error_transitions").inc()
+            self._last_status_code = status.status
+        # The reference's per-tick DEBUG channels (``:513`` main_cycle wall
+        # time, ``:715`` solver time/KKT).
+        _log_cycle.debug("tick", cycle_ms=round(cycle_s * 1e3, 3),
+                         budget_ms=round(self.config.dt * 1e3, 3))
+        _log_solver.debug("solve", kkt_res=kkt, status=status.status)
         return twist, status
 
     # ------------------------------------------------------------------ #

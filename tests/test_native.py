@@ -83,3 +83,48 @@ def test_ring_cross_thread_stream():
     th.join()
     assert len(received) == n
     assert received == sorted(received)  # FIFO order preserved
+
+
+# --------------------------------------------------------------------------- #
+# Concurrency stress + ThreadSanitizer verification (native/rt_runtime_stress
+# .cpp).  The reference ships no sanitizer coverage (-Wall only,
+# CMakeLists.txt:14-16); here the SPSC ring's lock-free protocol is verified
+# both by invariant checks under real contention and by TSan.
+# --------------------------------------------------------------------------- #
+
+import os
+import subprocess
+
+_NATIVE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "native")
+
+
+def _build_and_run_stress(tmp_path, extra_flags, scale, timeout):
+    exe = str(tmp_path / "rt_stress")
+    build = subprocess.run(
+        ["g++", "-O2", *extra_flags, "-o", exe,
+         os.path.join(_NATIVE, "rt_runtime_stress.cpp"),
+         os.path.join(_NATIVE, "rt_runtime.cpp"), "-lpthread"],
+        capture_output=True, text=True, timeout=120,
+    )
+    if build.returncode != 0:
+        pytest.skip(f"stress build failed: {build.stderr[:200]}")
+    return subprocess.run([exe, str(scale)], capture_output=True, text=True,
+                          timeout=timeout)
+
+
+def test_ring_stress_invariants(tmp_path):
+    """Producer/consumer contention: no torn reads, no sequence rewinds,
+    lossless FIFO mode."""
+    res = _build_and_run_stress(tmp_path, [], scale=200000, timeout=120)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "OK" in res.stdout
+
+
+def test_ring_stress_tsan_clean(tmp_path):
+    """The same stress under ThreadSanitizer: zero data-race reports."""
+    res = _build_and_run_stress(tmp_path, ["-fsanitize=thread", "-g"],
+                                scale=50000, timeout=300)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "ThreadSanitizer" not in res.stdout + res.stderr
+    assert "OK" in res.stdout
