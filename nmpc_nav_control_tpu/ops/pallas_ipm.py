@@ -210,9 +210,11 @@ def _bwd_fused_kernel(nx, nu, N, idxbx, idxbu, reg, d_cap, asp, bsp,
     kk = pl.program_id(1)            # stage k = N-1-kk (backward)
     nbx, nbu = len(idxbx), len(idxbu)
 
+    ntri_x = nx * (nx + 1) // 2
+
     @pl.when(kk == 0)
     def _init():
-        for i in range(nx * nx):
+        for i in range(ntri_x):
             P_scr[i] = _zeros_like_tile(Qdn_ref)
         for i in range(nx):
             p_scr[i] = _zeros_like_tile(Qdn_ref)
@@ -268,8 +270,14 @@ def _bwd_fused_kernel(nx, nu, N, idxbx, idxbu, reg, d_cap, asp, bsp,
     for b, iu in enumerate(idxbu):
         rbar[iu] = rbar[iu] + Du[b]
 
-    # --- Full cost-to-go at consumption: P_{k+1} = P_core + diag(qbar). ---
-    P = [[P_scr[i * nx + j] if i != j else P_scr[i * nx + j] + qbar_next[i]
+    # --- Full cost-to-go at consumption: P_{k+1} = P_core + diag(qbar).
+    # P is symmetric; the carry stores only the lower triangle (66 vs 121
+    # tiles for omni4) and both (i,j)/(j,i) views share ONE load. ---
+    def tri(i, j):
+        return i * (i + 1) // 2 + j if i >= j else j * (j + 1) // 2 + i
+
+    P_lo = [P_scr[t] for t in range(ntri_x)]
+    P = [[P_lo[tri(i, j)] + qbar_next[i] if i == j else P_lo[tri(i, j)]
           for j in range(nx)] for i in range(nx)]
 
     # --- Dynamics residual r_dyn_k = A dx_k + B du_k + c_k - dx_{k+1}. ---
@@ -292,22 +300,35 @@ def _bwd_fused_kernel(nx, nu, N, idxbx, idxbu, reg, d_cap, asp, bsp,
         Pc_ref[0, 0, i] = Pc[i]
 
     # --- Riccati factorization (P dense; A/B sparsity exploited). ---
-    PA = [[_dot((P[i][m], A[m][j]) for m in range(nx)) for j in range(nx)]
-          for i in range(nx)]
-    PB = [[_dot((P[i][m], Bm[m][j]) for m in range(nx)) for j in range(nu)]
-          for i in range(nx)]
+    # Column-wise evaluation: the j-th column of PA is produced, consumed
+    # into Qux[:, j] and the j-th column of A'PA, then DROPPED — peak live
+    # tiles fall from ~(PA + PB + P) = 286 to ~(P_tri + apa_tri + one
+    # column) = 143 for omni4, which is what bounds Mosaic's register/VMEM
+    # scheduling in this nx=11 kernel.  FLOPs are identical to the
+    # materialized form.
+    Qux = [[None] * nx for _ in range(nu)]
+    apa = {}
+    for j in range(nx):
+        PAj = [_dot((P[i][m], A[m][j]) for m in range(nx))
+               for i in range(nx)]
+        for i in range(nu):
+            Qux[i][j] = _nn(_dot((Bm[m][i], PAj[m]) for m in range(nx)),
+                            Rd_ref)
+        # Lower triangle of A'PA (symmetric given symmetric P).
+        for i in range(j, nx):
+            apa[(i, j)] = _dot((A[m][i], PAj[m]) for m in range(nx))
 
     Quu = {}
-    for i in range(nu):
-        for j in range(i + 1):
-            s = _dot((Bm[m][i], PB[m][j]) for m in range(nx))
+    for j in range(nu):
+        PBj = [_dot((P[i][m], Bm[m][j]) for m in range(nx))
+               for i in range(nx)]
+        for i in range(j, nu):
+            s = _dot((Bm[m][i], PBj[m]) for m in range(nx))
             if s is None:  # pragma: no cover - all-zero B column
                 s = _zeros_like_tile(Rd_ref)
             if i == j:
                 s = s + rbar[i]
             Quu[(i, j)] = s
-    Qux = [[_nn(_dot((Bm[m][i], PA[m][j]) for m in range(nx)), Rd_ref)
-            for j in range(nx)] for i in range(nu)]
 
     L = {}
     for i in range(nu):
@@ -326,22 +347,15 @@ def _bwd_fused_kernel(nx, nu, N, idxbx, idxbu, reg, d_cap, asp, bsp,
 
     # P_core_k = A' P A + Qux' K, WITHOUT the stage-k diagonal (added at
     # consumption next step).  Both terms are symmetric given symmetric P,
-    # so only the lower triangle is computed and mirrored — symmetric by
+    # so only the lower triangle is computed and stored — symmetric by
     # construction (the HPIPM approach), half the update FLOPs of
     # compute-both-and-average.
-    newP = {}
     for i in range(nx):
         for j in range(i + 1):
-            s = _dot((A[m][i], PA[m][j]) for m in range(nx))
-            s = (0.0 if s is None else s) + sum(
+            s = apa[(i, j)]
+            P_scr[tri(i, j)] = (0.0 if s is None else s) + sum(
                 Qux[m][i] * K[m][j] for m in range(nu)
             )
-            newP[(i, j)] = s
-    for i in range(nx):
-        for j in range(i + 1):
-            P_scr[i * nx + j] = newP[(i, j)]
-            if i != j:
-                P_scr[j * nx + i] = newP[(i, j)]
 
     for i in range(nu):
         for j in range(nx):
@@ -430,7 +444,7 @@ def ipm_bwd_fused(At, Bt, Qdt, Rdt, qxt, qut, ct0, dxst, dust,
             jax.ShapeDtypeStruct((G, 1, 1, _SB, 128), dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((nx * nx, _SB, 128), dtype),
+            pltpu.VMEM((nx * (nx + 1) // 2, _SB, 128), dtype),
             pltpu.VMEM((nx, _SB, 128), dtype),
             pltpu.VMEM((1, _SB, 128), dtype),
         ],
