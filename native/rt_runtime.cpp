@@ -78,7 +78,23 @@ struct SpscRing {
 
     // Producer: fill slot `idx` (relaxed stores; publication order is
     // provided by the release store of `head` afterwards).
+    //
+    // The leading release fence is what makes the consumer's lap validation
+    // sound on weakly-ordered CPUs (aarch64): without it, the relaxed
+    // payload stores of an overwriting write could become visible to the
+    // consumer BEFORE the release store of `head` that preceded them in
+    // program order (release only orders EARLIER accesses before itself),
+    // so a consumer could copy a torn slot yet still observe the stale head
+    // and pass the `h2 - t < capacity` check.  With the fence, fence-to-
+    // fence pairing applies: if the consumer's relaxed slot loads read any
+    // word stored after this fence, its acquire fence (in read_validated /
+    // ring_pop_latest) makes everything sequenced before this fence —
+    // including the head publication that preceded the overwrite — visible,
+    // so the head re-load must return >= idx and the validation retries.
+    // x86-TSO gets this ordering for free; ARM does not, and TSan cannot
+    // flag the omission (no data race — the bug is ordering logic).
     void write_slot(uint64_t idx, const uint8_t* payload) {
+        std::atomic_thread_fence(std::memory_order_release);
         std::atomic<uint64_t>* s = slot(idx);
         uint64_t w = uint64_t(now_ns());
         s[0].store(w, std::memory_order_relaxed);

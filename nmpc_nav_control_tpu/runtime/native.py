@@ -113,13 +113,22 @@ class RtTimer:
 
 
 class SpscRing:
-    """Wait-free SPSC ring of fixed-size byte records with timestamps."""
+    """Wait-free SPSC ring of fixed-size byte records with timestamps.
+
+    ``capacity`` is the requested number of usable records.  The native ring
+    keeps one slot of headroom in bounded (``overwrite=False``) mode — the
+    consumer's lap-validated read treats a record at distance >= slots from
+    head as potentially mid-rewrite, so a bounded producer must stop one
+    short — hence ring_create is given ``2 * capacity_pow2`` slots so the
+    advertised capacity is fully usable in both modes.
+    """
 
     def __init__(self, record_size: int, capacity_pow2: int = 64):
         self._lib = _load()
         assert self._lib is not None, "native runtime unavailable"
         self.record_size = record_size
-        self._h = self._lib.ring_create(record_size, capacity_pow2)
+        self.capacity = capacity_pow2
+        self._h = self._lib.ring_create(record_size, 2 * capacity_pow2)
         assert self._h, "capacity must be a power of two"
 
     def push(self, payload: bytes, overwrite: bool = True) -> bool:

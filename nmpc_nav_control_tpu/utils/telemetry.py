@@ -133,13 +133,20 @@ def channel(name: str) -> Channel:
 
 
 class _Counter:
-    __slots__ = ("value",)
+    # ``value += n`` is a multi-bytecode read-modify-write, NOT GIL-atomic:
+    # concurrent increments (executor timer thread vs a host callback
+    # thread) can lose counts.  A per-counter lock keeps inc() correct from
+    # any thread; uncontended acquisition is tens of ns — negligible next
+    # to the tick it instruments.
+    __slots__ = ("value", "_lock")
 
     def __init__(self):
         self.value = 0
+        self._lock = threading.Lock()
 
     def inc(self, n: int = 1) -> None:
-        self.value += n          # GIL-atomic for ints
+        with self._lock:
+            self.value += n
 
 
 class _Gauge:

@@ -52,6 +52,19 @@ def test_ring_fifo_and_latest():
     assert len(r) == 0
 
 
+def test_ring_bounded_capacity_fully_usable():
+    # The advertised capacity holds exactly that many records in bounded
+    # mode (the native ring's one-slot lap headroom is absorbed internally).
+    r = native.SpscRing(record_size=8, capacity_pow2=4)
+    for i in range(4):
+        assert r.push(struct.pack("<d", float(i)), overwrite=False), i
+    assert len(r) == 4
+    for i in range(4):
+        ts, payload = r.pop()
+        assert struct.unpack("<d", payload)[0] == float(i)
+    assert r.pop() is None
+
+
 def test_ring_overwrite_policy():
     r = native.SpscRing(record_size=8, capacity_pow2=4)
     for i in range(10):  # overflow a 4-slot ring
