@@ -12,6 +12,10 @@ The analog of the reference's executables and launch files:
               ``src/main.cpp`` + ``launch/run_nmpc_nav_control.launch``
               analog (with the simulated plant standing in for ROS/TF I/O).
   bench     — the headline throughput benchmark (same as ``python bench.py``).
+  export    — serialize the jitted control tick to a portable AOT artifact
+              (jax.export / StableHLO); the closest analog of the
+              reference's generated ``libacados_ocp_solver_*.so`` capsules —
+              a serving host loads it without the model-definition code.
 """
 from __future__ import annotations
 
@@ -126,6 +130,21 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    _enable_persistent_cache()
+    from nmpc_nav_control_tpu.runtime.aot import save_tick
+    from nmpc_nav_control_tpu.runtime.config import load_config
+
+    config = load_config(args.config)
+    platforms = tuple(args.platform) if args.platform else ("tpu", "cpu")
+    meta = save_tick(config, args.output, batch=args.batch,
+                     platforms=platforms)
+    print(f"exported {meta['geometry']} tick (N={meta['horizon']}, "
+          f"batch={meta['batch']}, platforms={meta['platforms']}) "
+          f"-> {args.output}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     import runpy
 
@@ -172,6 +191,16 @@ def main(argv=None) -> int:
     p.add_argument("--metrics", action="store_true",
                    help="dump the metrics-registry snapshot at exit")
     p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("export", help="serialize the jitted tick to an AOT "
+                                      "artifact (capsule analog)")
+    p.add_argument("--config", required=True, help="runtime YAML path")
+    p.add_argument("-o", "--output", required=True, help="artifact path")
+    p.add_argument("--batch", type=int, default=None,
+                   help="export the vmapped fleet tick over this many lanes")
+    p.add_argument("--platform", action="append", default=None,
+                   help="lowering platform (repeatable; default tpu+cpu)")
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("bench", help="headline throughput benchmark")
     p.set_defaults(fn=cmd_bench)

@@ -139,6 +139,22 @@ def test_cli_run_pose_goal(tmp_path, capsys):
     assert "GoToPose" in out
 
 
+def test_cli_export_roundtrip(tmp_path, capsys):
+    """``export`` writes a loadable AOT artifact (capsule analog)."""
+    cfg = tmp_path / "runtime.yaml"
+    cfg.write_text(_TINY_RUNTIME_YAML)
+    out = tmp_path / "tick.nmpcaot"
+    rc = cli_main(["export", "--config", str(cfg), "-o", str(out),
+                   "--platform", "cpu"])
+    assert rc == 0
+    assert "exported diff tick" in capsys.readouterr().out
+
+    from nmpc_nav_control_tpu.runtime.aot import load_tick
+    aot = load_tick(out.read_bytes())
+    assert aot.meta["geometry"] == "diff"
+    assert aot.meta["horizon"] == 10
+
+
 def test_simulated_robot_converges_to_goal():
     node = NmpcNavControlNode(from_dict({
         "steering_geometry": "diff",
