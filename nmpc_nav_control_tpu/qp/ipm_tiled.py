@@ -37,6 +37,7 @@ from nmpc_nav_control_tpu.ops.pallas_ipm import (
     ipm_bwd_fused,
     ipm_fwd_affine,
     ipm_fwd_corr,
+    ipm_kkt_fused,
     pack_sparse,
 )
 from nmpc_nav_control_tpu.ops.pallas_riccati import from_tiles, to_tiles
@@ -65,11 +66,7 @@ def solve_box_qp_tiled(
     nonzeros (nested bool tuples) — e.g. from
     ``ocp.sparsity.detect_sparsity``; ``None`` means dense.
     """
-    from nmpc_nav_control_tpu.qp.ipm import (
-        IPMSolution,
-        _Iterate,
-        _stationarity_inf_norm,
-    )
+    from nmpc_nav_control_tpu.qp.ipm import IPMSolution, _Iterate
 
     idxbx_t = tuple(int(i) for i in idxbx)
     idxbu_t = tuple(int(i) for i in idxbu)
@@ -208,34 +205,25 @@ def solve_box_qp_tiled(
 
     it_final, _ = jax.lax.scan(ipm_iter, it0, None, length=iters)
 
-    # ---- Untile the solution; KKT via the generic residual under vmap. ----
+    # ---- KKT + complementarity on the TILED iterate (one fused backward
+    # sweep per solve; the former vmapped XLA costate scan was N sequential
+    # tiny batched matvecs whose launch overhead dominated ~25% of the
+    # control tick), then untile the solution. ----
+    kkt_t, musum_t = ipm_kkt_fused(
+        At, Bmt, Qdt, qxt, it_final.dxs, Rdt, qut, it_final.dus,
+        it_final.l_xl, it_final.l_xu, it_final.l_ul, it_final.l_uu,
+        it_final.s_xl, it_final.s_xu, it_final.s_ul, it_final.s_uu,
+        idxbx_t, idxbu_t, nx, nu, asp=asp, bsp=bsp,
+    )
+    kkt = from_tiles(kkt_t, (1,))[:, 0, 0]
+    mu_lane = from_tiles(musum_t, (1,))[:, 0, 0] / n_con
+
     dxs = from_tiles(it_final.dxs, (nx,))
     dus = from_tiles(it_final.dus, (nu,))
     lam_xl = from_tiles(it_final.l_xl, (nbx,))
     lam_xu = from_tiles(it_final.l_xu, (nbx,))
     lam_ul = from_tiles(it_final.l_ul, (nbu,))
     lam_uu = from_tiles(it_final.l_uu, (nbu,))
-    s_xl = from_tiles(it_final.s_xl, (nbx,))
-    s_xu = from_tiles(it_final.s_xu, (nbx,))
-    s_ul = from_tiles(it_final.s_ul, (nbu,))
-    s_uu = from_tiles(it_final.s_uu, (nbu,))
-
-    it_flat = _Iterate(dxs, dus, s_xl, s_xu, s_ul, s_uu,
-                       lam_xl, lam_xu, lam_ul, lam_uu)
-    kkt = jax.vmap(
-        lambda q, i: _stationarity_inf_norm(q, ibx, ibu, i)
-    )(qp, it_flat)
-
-    def mu_of(it):
-        total = (
-            jnp.sum(it.s_xl * it.l_xl, axis=(1, 2))
-            + jnp.sum(it.s_xu * it.l_xu, axis=(1, 2))
-            + jnp.sum(it.s_ul * it.l_ul, axis=(1, 2))
-            + jnp.sum(it.s_uu * it.l_uu, axis=(1, 2))
-        )
-        return total / n_con
-
-    mu_lane = from_tiles(mu_of(it_final)[:, None, None], (1,))[:, 0, 0]
 
     return IPMSolution(
         dxs=dxs, dus=dus,
