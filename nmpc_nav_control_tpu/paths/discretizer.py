@@ -103,8 +103,11 @@ def get_next_n_poses(
         jnp.asarray(nearest_u, dtype), old0, step0, goal0, rel0,
         jnp.zeros((), dtype), jnp.zeros((), jnp.int32), poses0,
     )
+    # unroll=n_cycle: the body is ~30 scalar ops, so the XLA while-loop's
+    # per-iteration overhead dominates the march; one unrolled block per
+    # emission cycle cuts it ~10x with bit-identical semantics.
     (u, _, _, _, _, _, emitted, poses), _ = jax.lax.scan(
-        body, carry0, None, length=budget
+        body, carry0, None, length=budget, unroll=n_cycle
     )
 
     # Tail padding with the end-of-path pose (``PathDiscretizer.cpp:57-62``).

@@ -89,7 +89,9 @@ def project_to_path(plist: PathList, rx, ry) -> MinDistResult:
         u = jnp.clip(u - g1 / g2, 0.0, 1.0)
         return u, None
 
-    u_star, _ = jax.lax.scan(newton, u0, None, length=NEWTON_ITERS)
+    u_star, _ = jax.lax.scan(newton, u0, None, length=NEWTON_ITERS,
+                             unroll=True)   # 10 tiny steps: loop overhead
+                                            # exceeds the math
 
     return MinDistResult(
         u=seg_idx.astype(dtype) + u_star,

@@ -117,8 +117,8 @@ def top_up(win: PathWindow, active_path_u, max_active_path_length: float) -> Pat
         ), None
 
     (active_count, _), _ = jax.lax.scan(
-        body, (win.active_count, length0), None, length=cap
-    )
+        body, (win.active_count, length0), None, length=cap, unroll=True
+    )   # capacity-bounded scalar loop: unrolled, loop overhead dominates
     return win._replace(active_count=active_count)
 
 

@@ -132,7 +132,11 @@ def build_yref(N: int, robot_theta, traj_xy_theta, n_valid):
 
     idx = jnp.arange(N + 1)
     init = (robot_theta, jnp.zeros(3, traj_xy_theta.dtype))
-    _, yref = jax.lax.scan(step, init, (traj_xy_theta, idx))
+    # Fully unrolled: the body is a handful of scalar-ish ops, so the XLA
+    # while-loop's per-iteration overhead dominated (~15% of the whole
+    # control tick at N=40, measured by tools/phase_probe.py); unrolling
+    # keeps bit-identical semantics and lets XLA fuse the chain.
+    _, yref = jax.lax.scan(step, init, (traj_xy_theta, idx), unroll=True)
     return yref
 
 

@@ -461,3 +461,56 @@ def test_stage_parallel_ipm_matches_serial():
                                atol=1e-8)
     np.testing.assert_allclose(np.asarray(sol_p.dus), np.asarray(sol_s.dus),
                                atol=1e-8)
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12, 13, 14, 15])
+def test_ipm_fuzz_random_dims(seed):
+    """Fuzz: random problem DIMENSIONS and bound index sets, not just random
+    data — the solver is dimension-generic (idxbx/idxbu are static tuples),
+    so shape bugs only surface off the three wheeled-robot configurations."""
+    rng = np.random.default_rng(seed)
+    N = int(rng.integers(3, 12))
+    nx = int(rng.integers(2, 7))
+    nu = int(rng.integers(1, min(nx, 4) + 1))
+    nbx = int(rng.integers(1, nx + 1))
+    nbu = int(rng.integers(1, nu + 1))
+    idxbx = tuple(sorted(rng.choice(nx, size=nbx, replace=False).tolist()))
+    idxbu = tuple(sorted(rng.choice(nu, size=nbu, replace=False).tolist()))
+
+    prob = _rand_problem(rng, N, nx, nu)
+    A, B, c, Qd, Rd, qx, qu, dx0 = prob
+    dx0 = dx0 * 0.3
+    prob = (A, B, c, Qd, Rd, qx, qu, dx0)
+    lbx, ubx, lbu, ubu = _feasible_bounds(prob, idxbx, idxbu)
+
+    qp = BoxQP(
+        A=jnp.asarray(A), B=jnp.asarray(B), c=jnp.asarray(c),
+        Qd=jnp.asarray(Qd), qx=jnp.asarray(qx),
+        Rd=jnp.asarray(Rd), qu=jnp.asarray(qu),
+        dx0=jnp.asarray(dx0),
+        lbx=jnp.asarray(lbx), ubx=jnp.asarray(ubx),
+        lbu=jnp.asarray(lbu), ubu=jnp.asarray(ubu),
+    )
+    sol = solve_box_qp(qp, idxbx, idxbu, iters=25)
+    assert float(sol.mu) < 1e-8, (N, nx, nu, idxbx, idxbu)
+    assert float(sol.kkt_res) < 1e-6, (N, nx, nu, idxbx, idxbu)
+
+    dxs = np.asarray(sol.dxs)
+    dus = np.asarray(sol.dus)
+    # Dynamics + pinned initial state hold exactly.
+    np.testing.assert_allclose(dxs[0], dx0, atol=1e-9)
+    for k in range(N):
+        np.testing.assert_allclose(
+            dxs[k + 1], A[k] @ dxs[k] + B[k] @ dus[k] + c[k], atol=1e-7)
+    # Box feasibility.
+    eps = 1e-7
+    assert (dxs[1:][:, idxbx] >= lbx - eps).all()
+    assert (dxs[1:][:, idxbx] <= ubx + eps).all()
+    assert (dus[:, idxbu] >= lbu - eps).all()
+    assert (dus[:, idxbu] <= ubu + eps).all()
+    # Independent dense oracle.
+    xs_o, us_o = _oracle_box_qp(
+        A, B, c, Qd, Rd, qx, qu, dx0, idxbx, idxbu, lbx, ubx, lbu, ubu
+    )
+    np.testing.assert_allclose(dxs, xs_o, atol=1e-4)
+    np.testing.assert_allclose(dus, us_o, atol=1e-4)

@@ -265,3 +265,77 @@ def test_follow_path_reverse_driving():
     # Drove backwards (negative x), heading stayed near 0 (never flipped).
     assert p[0] < -0.8, f"did not back up: x={p[0]}"
     assert abs(float(norm_ang_rad(jnp.asarray(p[2])))) < 0.3
+
+
+# --------------------------------------------------------------------------- #
+# Randomized event-sequence property test: the jitted status machine vs a
+# 30-line Python oracle of the reference's switch logic
+# (``NMPCNavControlROS.cpp:516-538`` + callbacks ``:304-336``).
+# --------------------------------------------------------------------------- #
+
+
+def _oracle_step(state, event, valid):
+    """Reference transition semantics for one event.
+
+    States are the internal codes; returns (new_state, published_status).
+    Continuous effects (termination, safety, solver failure) are excluded by
+    test construction: pose far from the goal but within max_goal_pose_dist,
+    path running through the pose with matching heading.
+    """
+    if event == "goal":
+        return GO_TO_POSE, None            # callback only, no tick
+    if event == "path":
+        return FOLLOW_PATH, None           # FOLLOW_PATH even for empty sets
+    if event == "break":
+        return BREAK, None
+    if event == "idle":
+        return IDLE, None
+    # event == "tick"
+    if state in (GO_TO_POSE, FOLLOW_PATH, BREAK) and not valid:
+        state = ERROR                      # any input failure (":552")
+    elif state == BREAK:
+        state = IDLE                       # stop published, then Idle
+    published = (
+        STATUS_IDLE if state in (IDLE, BREAK)
+        else STATUS_ERROR if state == ERROR
+        else STATUS_WORKING
+    )
+    return state, published
+
+
+def test_random_event_sequences_match_reference_oracle():
+    spec, data, cfg = _make_diff()
+    tick = jax.jit(lambda s, m: node_tick(spec, data, cfg, s, m))
+    seg = make_line_segment((-10.0, 0.0), (30.0, 0.0), velocity=0.5)
+    segs = _segs_to_padded([seg], cfg.path_capacity)
+    goal = jnp.asarray([0.5, 0.2, 0.0], DTYPE)
+    plant = jnp.zeros(5, DTYPE)            # at the path, far from the goal
+
+    rng = np.random.default_rng(7)
+    for seed in range(4):
+        state = node_init(spec, cfg, DTYPE)
+        oracle = IDLE
+        history = []
+        for step in range(60):
+            ev = rng.choice(["tick", "tick", "tick", "goal", "path",
+                             "break", "idle"])
+            valid = bool(rng.random() > 0.15)
+            history.append((ev, valid))
+            if ev == "goal":
+                state = on_goal_pose(state, goal)
+            elif ev == "path":
+                state = on_path_set(state, cfg, segs, 1, request_id=step)
+            elif ev in ("break", "idle"):
+                state = on_command(state, ev)
+            else:
+                state, out = tick(state, _measure(plant, valid=valid))
+            oracle, pub = _oracle_step(oracle, ev, valid)
+            assert int(state.status) == oracle, (
+                f"seed {seed} step {step}: internal status "
+                f"{int(state.status)} != oracle {oracle}; {history[-6:]}"
+            )
+            if pub is not None:
+                assert int(out.status_code) == pub, (
+                    f"seed {seed} step {step}: published {int(out.status_code)}"
+                    f" != oracle {pub}; {history[-6:]}"
+                )

@@ -88,7 +88,10 @@ def tick_run(k):
             )(carry, poses, vels, trajs, n_valids)
             return st, stats.kkt_res
         st, kkts = jax.lax.scan(body, states, None, length=k)
-        return st.xs.sum()
+        # consume EVERY per-tick output the production loop reads, or XLA
+        # dead-code-eliminates real work (this is how the KKT-scan cost was
+        # found — and hidden).
+        return st.xs.sum() + kkts.sum()
     return f
 
 
@@ -144,8 +147,9 @@ def lin_run(k):
     def f(xs):
         def body(carry, _):
             xn, A, Bm = lin_v(carry, us, ps)
-            new = carry.at[:, 1:].set(0.9 * carry[:, 1:] + 0.1 * xn)
-            return new, A.sum()
+            s = 1e-9 * (A.sum(axis=(1, 2, 3)) + Bm.sum(axis=(1, 2, 3)))
+            new = carry.at[:, 1:].set(0.9 * carry[:, 1:] + 0.1 * xn + s[:, None, None])
+            return new, None
         out, _ = jax.lax.scan(body, xs, None, length=k)
         return out.sum()
     return f
@@ -180,3 +184,23 @@ def tile_run(k):
 
 
 emit("tile_transpose", slope(tile_run, (A, B_)))
+
+# ---------------- yref build only (chained through the seed) ----------------
+from nmpc_nav_control_tpu.rti.step import build_yref
+
+yref_v = jax.vmap(lambda th, t, n: build_yref(N, th, t, n))
+thetas = jnp.asarray(rng.normal(size=(B,)) * 0.1, dtype)
+
+
+def yref_run(k):
+    @jax.jit
+    def f(th):
+        def body(carry, _):
+            y = yref_v(carry, trajs, n_valids)
+            return carry + 1e-9 * y.sum(axis=(1, 2)), None
+        out, _ = jax.lax.scan(body, th, None, length=k)
+        return out.sum()
+    return f
+
+
+emit("yref_build", slope(yref_run, (thetas,)))
