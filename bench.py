@@ -172,6 +172,75 @@ def _measure_config(jax, jnp, geom, N, B, reps, k_lo, k_hi):
     return per_step, flops_solve
 
 
+def _measure_fleet(jax, jnp, geom, N, B, reps, k_lo, k_hi):
+    """Steady-state throughput of the FULL navigation tick under vmap.
+
+    Unlike ``_measure_config`` (the RTI-solve path), this drives
+    ``control.state_machine.node_tick`` — nearest-point projection, path
+    windowing, the arc-length discretizer, safety/termination lanes AND the
+    solve — for a fleet of robots following a path; the fleet-scale product
+    surface (``parallel/fleet.py``).
+    """
+    from nmpc_nav_control_tpu.control.state_machine import (
+        Measurements, node_init, node_tick, on_path_set,
+    )
+    from nmpc_nav_control_tpu.paths import make_line_segment
+
+    dtype = jnp.float32
+    spec, data = _build(jnp, geom, N)
+    from nmpc_nav_control_tpu.control.state_machine import NavConfig
+
+    cfg = NavConfig()
+    seg = make_line_segment((0.0, 0.0), (50.0, 0.0), velocity=0.5)
+    segs = jax.tree_util.tree_map(
+        lambda x: jnp.pad(jnp.asarray(x, dtype)[None],
+                          [(0, cfg.path_capacity - 1)] + [(0, 0)] * x.ndim),
+        seg,
+    )
+    state0 = on_path_set(node_init(spec, cfg, dtype), cfg, segs, 1, 1)
+    states = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), state0)
+    t = jnp.broadcast_to(jnp.asarray(True), (B,))
+    meas = Measurements(
+        pose=jnp.zeros((B, 3), dtype), vel=jnp.zeros((B, 3), dtype),
+        steer_angle=jnp.zeros((B,), dtype),
+        pose_valid=t, vel_valid=t, steer_valid=t,
+    )
+
+    def chained(k):
+        @jax.jit
+        def run(states):
+            def body(carry, _):
+                st, out = jax.vmap(
+                    lambda s, m: node_tick(spec, data, cfg, s, m)
+                )(carry, meas)
+                return st, (out.kkt_res, out.cmd.v)
+            st, (kkts, vs) = jax.lax.scan(body, states, None, length=k)
+            # consume every per-tick output the host reads (anti-DCE)
+            return (st.rti.xs.sum() + kkts.sum() + vs.sum(),
+                    jnp.all(jnp.isfinite(kkts)))
+        return run
+
+    runs = {k: chained(k) for k in (k_lo, k_hi)}
+    finite_ok = True
+    for k, run in runs.items():
+        out = jax.block_until_ready(run(states))
+        finite_ok = finite_ok and bool(out[1])
+    best = {}
+    for k, run in runs.items():
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run(states))
+            times.append(time.perf_counter() - t0)
+        best[k] = float(np.min(times))
+    per_step = (best[k_hi] - best[k_lo]) / (k_hi - k_lo)
+    assert per_step > 0, "non-positive marginal step time (noisy chip?)"
+    if not finite_ok:
+        raise RuntimeError("non-finite KKT residuals in fleet batch")
+    return per_step
+
+
 def _emit(geom, N, B, per_step, flops_per_solve):
     solves_per_s = B / per_step
     suffix = "" if geom == "diff" else f"_{geom}"
@@ -251,6 +320,25 @@ def main():
             }), flush=True)
         except Exception as e:  # pragma: no cover - probe must not kill sweep
             print(json.dumps({"metric": "single_robot_tick_latency_ms_N40",
+                              "error": str(e)}), flush=True)
+        # Fleet navigation-tick throughput: the FULL FollowPath tick
+        # (projection + windowing + discretizer + safety + solve) vmapped
+        # over a robot fleet.
+        try:
+            B_f = 2048
+            per_step = _measure_fleet(jax, jnp, "diff", 40, B_f, reps,
+                                      k_lo, k_hi)
+            print(json.dumps({
+                "metric": "fleet_nav_ticks_per_s_per_chip_N40",
+                "value": round(B_f / per_step, 1),
+                "unit": "ticks/s",
+                "vs_baseline": round(B_f / per_step / BASELINE_SOLVES_PER_S, 2),
+                "config": {"geometry": "diff", "N": 40, "batch": B_f,
+                           "note": "full FollowPath node_tick incl. path "
+                                   "subsystem, not just the RTI solve"},
+            }), flush=True)
+        except Exception as e:  # pragma: no cover
+            print(json.dumps({"metric": "fleet_nav_ticks_per_s_per_chip_N40",
                               "error": str(e)}), flush=True)
 
     for geom, N, B in configs:

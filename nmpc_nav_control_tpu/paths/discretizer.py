@@ -30,9 +30,12 @@ OVERSHOOT = 2                          # iteration-budget safety factor
 
 def _seg_speed(plist: PathList, u):
     """|GetVelocity()| of the segment containing u (clamped to the last
-    valid segment, ``PathDiscretizer.cpp:26,45``)."""
+    valid segment, ``PathDiscretizer.cpp:26,45``).  One-hot contraction
+    instead of a gather for the same fusion reason as ``_locate``."""
     idx = jnp.clip(jnp.floor(u).astype(jnp.int32), 0, plist.count - 1)
-    return jnp.abs(plist.segs.velocity[idx])
+    m = plist.segs.velocity.shape[0]
+    onehot = (jnp.arange(m) == idx).astype(plist.segs.velocity.dtype)
+    return jnp.abs(jnp.tensordot(onehot, plist.segs.velocity, axes=1))
 
 
 def get_next_n_poses(
@@ -65,10 +68,8 @@ def get_next_n_poses(
     dxy0 = vel_sample(plist, nearest_u)
     step0 = rel0 / jnp.sqrt(dxy0[0] ** 2 + dxy0[1] ** 2)
 
-    poses0 = jnp.zeros((num_poses, 3), dtype)
-
     def body(carry, _):
-        u, old, step, goal, rel, curr, emitted, poses = carry
+        u, old, step, goal, rel, curr, emitted = carry
         active = (u < n_end) & (emitted < num_poses)
 
         u_new = jnp.minimum(u + step, n_end)
@@ -78,11 +79,7 @@ def get_next_n_poses(
         )
 
         emit = active & ((goal - curr_new) <= PERCENT_ERROR_DIST_THRESHOLD * goal)
-        poses = jnp.where(
-            emit,
-            poses.at[jnp.clip(emitted, 0, num_poses - 1)].set(new),
-            poses,
-        )
+        slot = emitted                     # output row if this step emits
         speed = _seg_speed(plist, u_new)
         goal = jnp.where(emit, speed * sample_period, goal)
         rel = jnp.where(emit, goal / n_cycle, rel)
@@ -97,18 +94,27 @@ def get_next_n_poses(
         old = jnp.where(active, new, old)
         step = jnp.where(active, step_new, step)
         curr = jnp.where(active, curr_new, curr)
-        return (u, old, step, goal, rel, curr, emitted, poses), None
+        # Emissions ride the scan ys; a per-step dynamic-index scatter into
+        # the pose buffer would break XLA fusion at every substep (measured
+        # ~25% of the whole FollowPath tick under a fleet vmap).
+        return (u, old, step, goal, rel, curr, emitted), (emit, slot, new)
 
     carry0 = (
         jnp.asarray(nearest_u, dtype), old0, step0, goal0, rel0,
-        jnp.zeros((), dtype), jnp.zeros((), jnp.int32), poses0,
+        jnp.zeros((), dtype), jnp.zeros((), jnp.int32),
     )
-    # unroll=n_cycle: the body is ~30 scalar ops, so the XLA while-loop's
-    # per-iteration overhead dominates the march; one unrolled block per
-    # emission cycle cuts it ~10x with bit-identical semantics.
-    (u, _, _, _, _, _, emitted, poses), _ = jax.lax.scan(
-        body, carry0, None, length=budget, unroll=n_cycle
+    # unroll: the body is ~30 scalar ops, so the XLA while-loop's
+    # per-iteration overhead dominates the march; unrolled blocks keep
+    # bit-identical semantics.
+    (u, _, _, _, _, _, emitted), (emits, slots, news) = jax.lax.scan(
+        body, carry0, None, length=budget, unroll=8 * n_cycle
     )
+    # ONE scatter-add reconstructs the pose table: each output row is
+    # written by exactly one emitting substep (slots strictly increase at
+    # emissions), so add == set; non-emitting substeps contribute zeros.
+    poses = jnp.zeros((num_poses, 3), dtype).at[
+        jnp.clip(slots, 0, num_poses - 1)
+    ].add(jnp.where(emits[:, None], news, 0.0))
 
     # Tail padding with the end-of-path pose (``PathDiscretizer.cpp:57-62``).
     last = pose_sample(plist, n_end, is_holonomic)

@@ -53,14 +53,37 @@ def make_path_list(segments, capacity: int) -> PathList:
 
 def _locate(plist: PathList, sample_u):
     """Global u -> (segment, local u) with the reference clamping
-    (``PathDiscretizer.cpp:68-75``)."""
+    (``PathDiscretizer.cpp:68-75``).
+
+    Segment selection is a one-hot contraction, NOT a gather: the
+    discretizer's arc-length march samples the path hundreds of times per
+    tick, and a dynamic-index gather in that loop breaks XLA's elementwise
+    fusion into thousands of tiny dispatches (measured ~20x slowdown of the
+    whole FollowPath tick under a fleet vmap).  The one-hot form costs
+    M*DEG extra FMAs but keeps the entire march fusable; values are exact.
+    """
     path_num = jnp.floor(sample_u).astype(jnp.int32)
     u = sample_u - path_num.astype(sample_u.dtype)
     over = path_num >= plist.count
     under = path_num < 0
     path_num = jnp.clip(path_num, 0, plist.count - 1)
     u = jnp.where(over, jnp.ones_like(u), jnp.where(under, jnp.zeros_like(u), u))
-    seg = jax.tree_util.tree_map(lambda leaf: leaf[path_num], plist.segs)
+    m = plist.segs.cx.shape[0]
+    onehot = (jnp.arange(m) == path_num).astype(u.dtype)    # [M]
+
+    def sel(leaf):
+        w = onehot.astype(leaf.dtype) if leaf.dtype != onehot.dtype else onehot
+        return jnp.tensordot(w, leaf, axes=1)
+
+    seg = PathSegment(
+        cx=sel(plist.segs.cx),
+        cy=sel(plist.segs.cy),
+        ch=sel(plist.segs.ch),
+        velocity=sel(plist.segs.velocity),
+        frame_id=jnp.sum(
+            (jnp.arange(m) == path_num) * plist.segs.frame_id, axis=0),
+        length=sel(plist.segs.length),
+    )
     return seg, u
 
 
