@@ -100,8 +100,8 @@ def solve_box_qp(
     idxbu,
     iters: int = 12,
     tau: float = 0.995,
-    mu0: float = 1e-1,
-    s_min: float = 1e-2,
+    mu0: float = 1.0,
+    s_min: float = 0.3,
     reg: float = 1e-8,
     mu_min: float | None = None,
     stage_parallel: bool = False,
@@ -225,8 +225,8 @@ def _solve_box_qp_serial(
     idxbu,
     iters: int = 12,
     tau: float = 0.995,
-    mu0: float = 1e-1,
-    s_min: float = 1e-2,
+    mu0: float = 1.0,
+    s_min: float = 0.3,
     reg: float = 1e-8,
     mu_min: float | None = None,
     stage_parallel: bool = False,
@@ -382,12 +382,27 @@ def _solve_box_qp_serial(
         sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-16)) ** 3, 0.0, 1.0)
 
         # --- Corrector pass. ---
+        # The corrector products are scaled by a_aff — damped toward the
+        # step actually achievable, not the full (possibly blocked) affine
+        # direction.  With the unscaled products, instances whose warm start
+        # touches a bound exactly (gap = 0 -> s_min-clamped slacks; routine
+        # in closed loop whenever a tick saturates u) make the affine step
+        # tiny (a_aff ~ 0.04) while ds_aff*dl_aff stays O(1): the corrector
+        # then overshoots, mu oscillates around mu0 forever, and the
+        # returned point is a barrier center instead of the optimum (found
+        # by the NumPy f64 RTI oracle, tests/oracle/numpy_rti.py; the golden
+        # closed-loop parity test pins the fix).  When the affine step is
+        # accepted (a_aff ~ 1) the scale is ~1 and classic Mehrotra behavior
+        # (superlinear tail) is unchanged.  Linear damping measured fastest
+        # across the saved pathological instances (quadratic a_aff^2 is
+        # over-conservative: +4-5 iterations to the same accuracy).
+        corr_scale = a_aff
         d = newton(
             sigma * mu,
-            dsa_xl * dla_xl,
-            dsa_xu * dla_xu,
-            dsa_ul * dla_ul,
-            dsa_uu * dla_uu,
+            corr_scale * dsa_xl * dla_xl,
+            corr_scale * dsa_xu * dla_xu,
+            corr_scale * dsa_ul * dla_ul,
+            corr_scale * dsa_uu * dla_uu,
         )
         alpha = step_len(d)
 

@@ -53,8 +53,8 @@ def solve_box_qp_tiled(
     idxbu,
     iters: int = 12,
     tau: float = 0.995,
-    mu0: float = 1e-1,
-    s_min: float = 1e-2,
+    mu0: float = 1.0,
+    s_min: float = 0.3,
     reg: float = 1e-8,
     mu_min: float | None = None,
     spars=None,
@@ -152,6 +152,15 @@ def solve_box_qp_tiled(
                   + a_aff * a_aff * c12t[:, 0, 1]) / n_con
         sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-16)) ** 3, 0.0, 1.0)
         sigma_mu = (sigma * mu)[:, None, None]     # [G, 1, 1, 8, 128]
+        # Scale the Mehrotra corrector by a_aff (damped toward the step
+        # actually achievable) — keep in sync with qp/ipm.py, which
+        # documents the cycling failure this prevents on warm starts that
+        # touch a bound exactly.
+        corr_sc = a_aff[:, None, None]             # [G, 1, 1, 8, 128]
+        corr_xl = corr_sc * corr_xl
+        corr_xu = corr_sc * corr_xu
+        corr_ul = corr_sc * corr_ul
+        corr_uu = corr_sc * corr_uu
 
         # --- Sweep 3: corrector backward. ---
         kff_c = ipm_bwd_corr(
