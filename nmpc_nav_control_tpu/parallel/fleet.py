@@ -60,15 +60,12 @@ class Fleet:
         self.states: Dict[str, NodeState] = {}
         self._ticks = {}
         for name, g in groups.items():
-            states = g.init_states(dtype)
+            states = self._shard_in(g.init_states(dtype))
             fn = jax.vmap(
                 lambda s, m, g=g: node_tick(g.spec, g.data, g.cfg, s, m)
             )
             if mesh is not None:
                 shard = NamedSharding(mesh, P("data"))
-                states = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, shard), states
-                )
                 fn = jax.jit(fn, in_shardings=(shard, shard),
                              out_shardings=(shard, shard))
             else:
@@ -76,27 +73,44 @@ class Fleet:
             self.states[name] = states
             self._ticks[name] = fn
 
+    def _shard_in(self, tree):
+        """Move host inputs onto the mesh's ``data`` axis.
+
+        Single process: a plain sharded ``device_put``.  Multi-process
+        (``jax.distributed``): each host contributes its LOCAL lanes
+        (``FleetGroup.batch`` = lanes per host) and leaves are assembled
+        into global arrays via ``make_array_from_process_local_data`` —
+        the host-local ingest of ``parallel/multihost.py``.  Leaves that
+        are already committed global arrays pass through untouched.
+        """
+        if self.mesh is None:
+            return tree
+        shard = NamedSharding(self.mesh, P("data"))
+        multi = jax.process_count() > 1
+
+        def one(x):
+            if isinstance(x, jax.Array) and getattr(x, "sharding", None) == shard:
+                return x
+            if multi:
+                from nmpc_nav_control_tpu.parallel.multihost import (
+                    local_to_global,
+                )
+                return local_to_global(self.mesh, x)
+            return jax.device_put(x, shard)
+
+        return jax.tree_util.tree_map(one, tree)
+
     def set_states(self, name: str, states: NodeState) -> None:
         """Replace a group's state batch (e.g. after batched goal/path
         injection built with vmapped ``on_goal_pose`` / ``on_path_set``)."""
-        if self.mesh is not None:
-            shard = NamedSharding(self.mesh, P("data"))
-            states = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, shard), states
-            )
-        self.states[name] = states
+        self.states[name] = self._shard_in(states)
 
     def tick(self, measurements: Dict[str, Measurements]):
         """Advance every group one control cycle.  Returns {name: TickOutput}."""
         outs = {}
         for name, meas in measurements.items():
-            if self.mesh is not None:
-                shard = NamedSharding(self.mesh, P("data"))
-                meas = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, shard), meas
-                )
             self.states[name], outs[name] = self._ticks[name](
-                self.states[name], meas
+                self.states[name], self._shard_in(meas)
             )
         return outs
 

@@ -51,6 +51,9 @@ __all__ = [
     "status_to_ros",
     "twist_to_ros",
     "RosBridge",
+    "resolve_namespace",
+    "main",
+    "main_prepare",
 ]
 
 
@@ -360,11 +363,33 @@ class RosBridge:
                 cls["pose_path"], cls["pose_stamped"], rospy.Time.now()))
 
 
+def resolve_namespace(explicit: str = "", env=None) -> str:
+    """Per-robot namespace resolution (``ROBOT_ID`` convention).
+
+    The reference launch file namespaces every node under the ``ROBOT_ID``
+    environment variable (``launch/run_nmpc_nav_control.launch:2-4``:
+    ``<group ns="$(env ROBOT_ID)">``) so several robots' controllers can
+    coexist on one ROS master.  Mirrored here: an explicit ``--namespace``
+    wins, else ``$ROBOT_ID``, else empty (global namespace).  The bridge
+    applies it through ``ROS_NAMESPACE`` before ``init_node`` so all topic
+    names (cmd_vel, control_status, ...) resolve under the robot's prefix.
+    """
+    import os
+
+    env = os.environ if env is None else env
+    return explicit or env.get("ROBOT_ID", "") or ""
+
+
+def _apply_namespace(ns: str) -> None:
+    import os
+
+    if ns and not os.environ.get("ROS_NAMESPACE"):
+        os.environ["ROS_NAMESPACE"] = ns
+
+
 def main(argv=None):  # pragma: no cover - requires a live ROS master
     """``rosrun``-style entry: load the runtime YAML, spin the bridge."""
     import argparse
-
-    import rospy
 
     from nmpc_nav_control_tpu.runtime.config import load_config
     from nmpc_nav_control_tpu.runtime.node import NmpcNavControlNode
@@ -372,13 +397,55 @@ def main(argv=None):  # pragma: no cover - requires a live ROS master
     ap = argparse.ArgumentParser()
     ap.add_argument("config", help="runtime YAML (nmpc_nav_control.yaml schema)")
     ap.add_argument("--debug-outputs", action="store_true")
+    ap.add_argument("--namespace", default="",
+                    help="per-robot namespace (defaults to $ROBOT_ID, the "
+                         "reference launch convention)")
     args = ap.parse_args(argv)
+
+    _apply_namespace(resolve_namespace(args.namespace))
+    import rospy
 
     rospy.init_node("nmpc_nav_control_tpu")
     node = NmpcNavControlNode(load_config(args.config),
                               debug_outputs=args.debug_outputs)
     RosBridge(node)
     rospy.spin()
+
+
+def main_prepare(argv=None):  # pragma: no cover - requires a live ROS master
+    """ROS-wrapped solver preparation (the ``generate_acados_libs_ros.py``
+    analog, reference ``scripts/generate_acados_libs_ros.py:11-54`` +
+    ``launch/run_nmpc_nav_control_generate_libs.launch:2-3``).
+
+    Runs the same preparation as the CLI ``prepare`` subcommand — build each
+    geometry's controller from the models YAML, jit one tick into the
+    persistent compilation cache, smoke-solve — inside a rospy node so
+    deployments can trigger it from a launch file, with progress on the ROS
+    log.  The YAML path comes from the ``~models_config`` private param or
+    the first positional argument.
+    """
+    import argparse
+
+    from nmpc_nav_control_tpu.runtime.models_config import prepare_solvers
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("models_config", nargs="?", default=None)
+    ap.add_argument("--namespace", default="")
+    args = ap.parse_args(argv)
+
+    _apply_namespace(resolve_namespace(args.namespace))
+    import rospy
+
+    rospy.init_node("nmpc_nav_control_tpu_generate_solvers")
+    path = args.models_config or rospy.get_param("~models_config")
+    rospy.loginfo("preparing solvers from %s", path)
+    try:
+        built = prepare_solvers(path, log=rospy.loginfo)
+    except Exception as e:
+        rospy.logerr("solver preparation failed: %s", e)
+        raise
+    rospy.loginfo("prepared %d solver(s): %s", len(built),
+                  ", ".join(sorted(built)))
 
 
 if __name__ == "__main__":  # pragma: no cover

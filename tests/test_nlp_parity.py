@@ -123,10 +123,15 @@ def _rti_fixpoint(config, data, x0, goal, iters=40):
     return state, stats
 
 
-def test_rti_fixpoint_matches_nlp_oracle():
+@pytest.mark.parametrize("N_h", [
+    20, pytest.param(80, marks=pytest.mark.slow)])
+def test_rti_fixpoint_matches_nlp_oracle(N_h):
+    """Parametrized over N=20 (fast tier) and the reference default N=80
+    (``scripts/diff/common.py:5-9``)."""
     config, data = _make_problem(
         diff.SPEC, [0.27, 0.1], Q, R,
         [-V_MAX, -V_MAX], [V_MAX, V_MAX], [-A_MAX, -A_MAX], [A_MAX, A_MAX],
+        N=N_h,
     )
     x0 = jnp.zeros(7, jnp.float64)
     goal = np.array([0.6, 0.1, 0.2])
@@ -136,7 +141,7 @@ def test_rti_fixpoint_matches_nlp_oracle():
     xs_o, us_o = _solve_nlp_oracle(
         diff.f, 7, 2, [0.27, 0.1], Q, R, x0, goal,
         diff.SPEC.idxbx, [-V_MAX, -V_MAX], [V_MAX, V_MAX],
-        [-A_MAX, -A_MAX], [A_MAX, A_MAX],
+        [-A_MAX, -A_MAX], [A_MAX, A_MAX], N=N_h,
     )
     np.testing.assert_allclose(np.asarray(state.us), us_o, atol=2e-4)
     np.testing.assert_allclose(np.asarray(state.xs), xs_o, atol=2e-4)
@@ -169,14 +174,17 @@ def test_rti_fixpoint_with_active_constraints():
     np.testing.assert_allclose(us_rti, us_o, atol=5e-4)
 
 
-def test_rti_fixpoint_matches_nlp_oracle_omni4():
+@pytest.mark.parametrize("N_h", [
+    20, pytest.param(80, marks=pytest.mark.slow)])
+def test_rti_fixpoint_matches_nlp_oracle_omni4(N_h):
     Qo = np.array([10.0, 10.0, 5.0] + [0.0] * 8)
     Ro = np.ones(4)
     p = [0.535, 0.1]
     v_max, a_max = 1.0, 1.0
     lbx, ubx = [-v_max] * 4, [v_max] * 4
     lbu, ubu = [-a_max] * 4, [a_max] * 4
-    config, data = _make_problem(omni4.SPEC, p, Qo, Ro, lbx, ubx, lbu, ubu)
+    config, data = _make_problem(omni4.SPEC, p, Qo, Ro, lbx, ubx, lbu, ubu,
+                                 N=N_h)
     x0 = jnp.zeros(11, jnp.float64)
     goal = np.array([0.4, 0.2, 0.3])
     state, stats = _rti_fixpoint(config, data, x0, goal)
@@ -184,14 +192,16 @@ def test_rti_fixpoint_matches_nlp_oracle_omni4():
 
     xs_o, us_o = _solve_nlp_oracle(
         omni4.f, 11, 4, p, Qo, Ro, x0, goal,
-        omni4.SPEC.idxbx, lbx, ubx, lbu, ubu,
+        omni4.SPEC.idxbx, lbx, ubx, lbu, ubu, N=N_h,
     )
     np.testing.assert_allclose(np.asarray(state.us), us_o, atol=3e-4)
     np.testing.assert_allclose(np.asarray(state.xs), xs_o, atol=3e-4)
 
 
 @pytest.mark.parametrize("bug_compat", [False, True])
-def test_rti_fixpoint_matches_nlp_oracle_tric(bug_compat):
+@pytest.mark.parametrize("N_h", [
+    20, pytest.param(80, marks=pytest.mark.slow)])
+def test_rti_fixpoint_matches_nlp_oracle_tric(N_h, bug_compat):
     """Tricycle parity, including the asymmetric steering-angle box and the
     reference's sin/cos model bug in ``bug_compat`` mode
     (``scripts/tric/tric_amr_model.py:45``)."""
@@ -202,7 +212,7 @@ def test_rti_fixpoint_matches_nlp_oracle_tric(bug_compat):
     a_max, dalpha_max = 2.0, np.deg2rad(90.0)
     lbx, ubx = [-v_max, alpha_min], [v_max, alpha_max]
     lbu, ubu = [-a_max, -dalpha_max], [a_max, dalpha_max]
-    config, data = _make_problem(spec, p, Q, R, lbx, ubx, lbu, ubu)
+    config, data = _make_problem(spec, p, Q, R, lbx, ubx, lbu, ubu, N=N_h)
     # Nonzero initial (v, alpha): in bug-compat mode the origin is an
     # uncontrollable stationary point of the sin(alpha) dynamics — both
     # solvers would sit at different KKT points of a degenerate instance.
@@ -219,7 +229,7 @@ def test_rti_fixpoint_matches_nlp_oracle_tric(bug_compat):
     )
     xs_o, us_o = _solve_nlp_oracle(
         spec.f, 7, 2, p, Q, R, x0, goal,
-        spec.idxbx, lbx, ubx, lbu, ubu, w0=w0,
+        spec.idxbx, lbx, ubx, lbu, ubu, w0=w0, N=N_h,
     )
     np.testing.assert_allclose(np.asarray(state.us), us_o, atol=3e-4)
     np.testing.assert_allclose(np.asarray(state.xs), xs_o, atol=3e-4)

@@ -151,3 +151,14 @@ def test_pose_path_to_ros():
 def test_available_is_false_without_ros():
     # This image has no rospy; the bridge must degrade cleanly.
     assert rb.available() is False
+
+
+def test_resolve_namespace_robot_id_convention():
+    """Per-robot namespacing follows the reference launch convention
+    (``launch/run_nmpc_nav_control.launch:2-4``): explicit wins, then
+    $ROBOT_ID, then the global namespace."""
+    from nmpc_nav_control_tpu.runtime.ros_bridge import resolve_namespace
+
+    assert resolve_namespace("", env={}) == ""
+    assert resolve_namespace("", env={"ROBOT_ID": "amr_07"}) == "amr_07"
+    assert resolve_namespace("explicit", env={"ROBOT_ID": "amr_07"}) == "explicit"
