@@ -96,13 +96,17 @@ def _unpack_entries(ref, sp, k0=0):
     """Kernel-side accessor: nested list with None at structural zeros.
 
     ``ref`` holds the packed entries at [0, 0, k0 + pos]; returns
-    ``M[i][j]`` = tile or None.
+    ``M[i][j]`` = tile or None.  Lower-precision streams (the optional bf16
+    A/B streaming mode of ``qp/ipm_tiled.py``) are widened to f32 at load,
+    so all in-kernel arithmetic stays f32 regardless of the HBM dtype.
     """
     n, m = len(sp), len(sp[0])
     M = [[None] * m for _ in range(n)]
     k = k0
+    widen = ref.dtype == jnp.bfloat16
     for i, j in _nz_positions(sp):
-        M[i][j] = ref[0, 0, k]
+        t = ref[0, 0, k]
+        M[i][j] = t.astype(jnp.float32) if widen else t
         k += 1
     return M
 
@@ -915,7 +919,8 @@ def ipm_kkt_fused(At, Bt, Qdt, qxt, dxst, Rdt, qut, dust,
     """
     G, N = At.shape[0], At.shape[1]
     nbx, nbu = len(idxbx), len(idxbu)
-    dtype = At.dtype
+    # Compute dtype comes from the f32 operands: A/B may stream as bf16.
+    dtype = Qdt.dtype
     nnzA, nnzB = At.shape[2], Bt.shape[2]
 
     def rev(b, k):

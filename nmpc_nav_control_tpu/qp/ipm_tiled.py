@@ -58,6 +58,7 @@ def solve_box_qp_tiled(
     reg: float = 1e-8,
     mu_min: float | None = None,
     spars=None,
+    tiled_abc=None,
 ):
     """Batched solve; returns an ``IPMSolution`` with leading batch axes.
 
@@ -65,14 +66,19 @@ def solve_box_qp_tiled(
     ``spars``: optional static ``(A_pattern, B_pattern)`` of structural
     nonzeros (nested bool tuples) — e.g. from
     ``ocp.sparsity.detect_sparsity``; ``None`` means dense.
+    ``tiled_abc``: optional pre-tiled ``(At, Bmt, ct)`` in the kernel
+    layout [G, N, e, 8, 128] with A/B already packed to ``spars`` — e.g.
+    from ``ops.tiled_linearize.linearize_packed_tiled``; ``qp.A/B/c`` are
+    ignored (may be None) and the dense Jacobians never materialize.
     """
     from nmpc_nav_control_tpu.qp.ipm import IPMSolution, _Iterate
 
     idxbx_t = tuple(int(i) for i in idxbx)
     idxbu_t = tuple(int(i) for i in idxbu)
-    Bt_, N, nx, nu = qp.B.shape
+    N, nx = qp.Qd.shape[1] - 1, qp.Qd.shape[2]
+    nu = qp.Rd.shape[-1]
     nbx, nbu = len(idxbx_t), len(idxbu_t)
-    dtype = qp.A.dtype
+    dtype = qp.Qd.dtype
     if mu_min is None:
         mu_min = 1e-7  # f32 only on this path
     if spars is None:
@@ -81,9 +87,22 @@ def solve_box_qp_tiled(
         asp, bsp = spars
 
     # ---- One-time tiling of the QP data (A/B packed to nonzeros). ----
-    At = to_tiles(pack_sparse(qp.A, asp), (len(_flat(asp)),))
-    Bmt = to_tiles(pack_sparse(qp.B, bsp), (len(_flat(bsp)),))
-    ct0 = to_tiles(qp.c, (nx,))
+    if tiled_abc is None:
+        At = to_tiles(pack_sparse(qp.A, asp), (len(_flat(asp)),))
+        Bmt = to_tiles(pack_sparse(qp.B, bsp), (len(_flat(bsp)),))
+        ct0 = to_tiles(qp.c, (nx,))
+    else:
+        At, Bmt, ct0 = tiled_abc
+    # Optional bf16 streaming of the stage Jacobians: halves the A/B HBM
+    # bytes of every sweep; entries are widened back to f32 at load inside
+    # the kernels (ops/pallas_ipm._unpack_entries), so only the STORAGE of
+    # A/B loses precision (~3 decimal digits on O(1) entries).  Gated by
+    # the golden-trajectory parity suite (tests/test_rti_oracle.py with
+    # NMPC_TPU_BF16_STREAM=1); measured verdict in PERFORMANCE.md.
+    import os
+    if os.environ.get("NMPC_TPU_BF16_STREAM", "0") == "1":
+        At = At.astype(jnp.bfloat16)
+        Bmt = Bmt.astype(jnp.bfloat16)
     Qdt = to_tiles(qp.Qd, (nx,))                # [G, N+1, nx, ...]
     qxt = to_tiles(qp.qx, (nx,))
     Rdt = to_tiles(qp.Rd, (nu,))

@@ -140,6 +140,88 @@ def build_yref(N: int, robot_theta, traj_xy_theta, n_valid):
     return yref
 
 
+_LIN_SOLVER_CACHE: dict = {}
+
+
+def _make_lin_solver(model, dt, iters, reg, spars):
+    """Cached custom-vmap [linearize -> box-QP solve] for one (model, config).
+
+    Unbatched (and every non-TPU / f64 / stage-parallel-fallback case):
+    ``linearize_trajectory`` + dense ``BoxQP`` + ``solve_box_qp`` — exactly
+    the pre-refactor path.  Under a full scenario-batch vmap on the TPU the
+    rule instead linearizes straight into the packed tile layout
+    (``ops.tiled_linearize``) and feeds the fused tiled IPM, so the dense
+    [B, N, nx, nx] Jacobians never exist.  This removes the XLA fusion-size
+    cliff that made linearization cost ~10x more at N=80 than at N=40
+    (VERDICT r3 item 5; measured numbers in ops/tiled_linearize.py).
+    """
+    key = (model, dt, iters, reg, spars)
+    cached = _LIN_SOLVER_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    idxbx, idxbu = model.idxbx, model.idxbu
+
+    def unbatched(xs_lin, us, p, Qd, qx, Rd, qu,
+                  lbx_d, ubx_d, lbu_d, ubu_d, dx0):
+        x_next, A, B = linearize_trajectory(model.f, dt, xs_lin, us, p)
+        c = x_next - xs_lin[1:]
+        qp = BoxQP(A=A, B=B, c=c, Qd=Qd, qx=qx, Rd=Rd, qu=qu, dx0=dx0,
+                   lbx=lbx_d, ubx=ubx_d, lbu=lbu_d, ubu=ubu_d)
+        return solve_box_qp(qp, idxbx, idxbu, iters=iters, reg=reg,
+                            spars=spars)
+
+    @jax.custom_batching.custom_vmap
+    def solve(xs_lin, us, p, Qd, qx, Rd, qu,
+              lbx_d, ubx_d, lbu_d, ubu_d, dx0):
+        return unbatched(xs_lin, us, p, Qd, qx, Rd, qu,
+                         lbx_d, ubx_d, lbu_d, ubu_d, dx0)
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        from nmpc_nav_control_tpu.ops.pallas_riccati import BT
+        from nmpc_nav_control_tpu.qp.ipm import IPMSolution, _tiled_ipm_ok
+
+        out_batched = IPMSolution(*([True] * len(IPMSolution._fields)))
+        padded = -(-axis_size // BT) * BT
+        if not _tiled_ipm_ok(model.nx, model.nu, padded, args[0].dtype):
+            axes = tuple(0 if b else None for b in in_batched)
+            return jax.vmap(unbatched, in_axes=axes)(*args), out_batched
+
+        from nmpc_nav_control_tpu.ops.pallas_ipm import dense_sparsity
+        from nmpc_nav_control_tpu.ops.pallas_riccati import to_tiles
+        from nmpc_nav_control_tpu.ops.tiled_linearize import (
+            linearize_packed_tiled,
+        )
+        from nmpc_nav_control_tpu.qp.ipm_tiled import solve_box_qp_tiled
+
+        full = [a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+                for a, b in zip(args, in_batched)]
+        if padded != axis_size:
+            # Edge-replicate up to a whole batch tile (same policy as the
+            # solve-level dispatch rule in qp/ipm.py).
+            full = [jnp.pad(a, [(0, padded - axis_size)]
+                            + [(0, 0)] * (a.ndim - 1), mode="edge")
+                    for a in full]
+        (xs_lin, us, p, Qd, qx, Rd, qu,
+         lbx_d, ubx_d, lbu_d, ubu_d, dx0) = full
+        patterns = spars if spars is not None else dense_sparsity(
+            model.nx, model.nu)
+        At, Bmt, xnt = linearize_packed_tiled(
+            model.f, dt, xs_lin, us, p, *patterns)
+        ct = xnt - to_tiles(xs_lin[:, 1:], (model.nx,))
+        qp = BoxQP(A=None, B=None, c=None, Qd=Qd, qx=qx, Rd=Rd, qu=qu,
+                   dx0=dx0, lbx=lbx_d, ubx=ubx_d, lbu=lbu_d, ubu=ubu_d)
+        sol = solve_box_qp_tiled(qp, idxbx, idxbu, iters=iters, reg=reg,
+                                 spars=patterns, tiled_abc=(At, Bmt, ct))
+        if padded != axis_size:
+            sol = jax.tree_util.tree_map(lambda x: x[:axis_size], sol)
+        return sol, out_batched
+
+    _LIN_SOLVER_CACHE[key] = solve
+    return solve
+
+
 def rti_step(
     config: RTIConfig,
     data: OCPData,
@@ -179,12 +261,10 @@ def rti_step(
         scale = jnp.where(same, config.adaptive_terminal_scale, 1.0)
         qe = qe.at[:3].set(scale * q[:3])
 
-    # --- Linearize dynamics along the warm-start trajectory. ---
-    # Stage 0 linearizes around the *pinned* x0 (acados re-linearizes around
-    # the updated stage-0 iterate, which equals x0 by the equality constraint).
+    # --- Linearization point: stage 0 is the *pinned* x0 (acados
+    # re-linearizes around the updated stage-0 iterate, which equals x0 by
+    # the equality constraint). ---
     xs_lin = state.xs.at[0].set(x0)
-    x_next, A, B = linearize_trajectory(model.f, dt, xs_lin, state.us, data.p)
-    c = x_next - xs_lin[1:]
 
     # --- Gauss-Newton cost blocks (diagonal W; yref nonzero only in pose). ---
     Qd = jnp.concatenate([jnp.tile(q[None], (N, 1)), qe[None]], axis=0)
@@ -200,15 +280,13 @@ def rti_step(
     lbu_d = data.lbu[None, :] - state.us[:, idxbu]
     ubu_d = data.ubu[None, :] - state.us[:, idxbu]
 
-    qp = BoxQP(
-        A=A, B=B, c=c, Qd=Qd, qx=qx, Rd=Rd, qu=qu,
-        dx0=x0 - xs_lin[0],
-        lbx=lbx_d, ubx=ubx_d, lbu=lbu_d, ubu=ubu_d,
-    )
-    sol = solve_box_qp(
-        qp, model.idxbx, model.idxbu,
-        iters=config.ipm_iters, reg=config.ipm_reg, spars=config.spars,
-    )
+    # --- Linearize + QP solve (one custom_vmap boundary: under a full
+    # scenario-batch vmap on TPU the rule linearizes straight into the tile
+    # layout and never materializes dense Jacobians). ---
+    solver = _make_lin_solver(model, float(dt), config.ipm_iters,
+                              config.ipm_reg, config.spars)
+    sol = solver(xs_lin, state.us, data.p, Qd, qx, Rd, qu,
+                 lbx_d, ubx_d, lbu_d, ubu_d, x0 - xs_lin[0])
 
     # --- Expand. ---
     xs_new = xs_lin + sol.dxs
