@@ -6,8 +6,13 @@ dry-run-compiles the multi-chip path via ``__graft_entry__.dryrun_multichip``.
 """
 import os
 import sys
+import tempfile
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Keep CLI tests' persistent-compile-cache writes out of the shared
+# .jax_cache: concurrent writers (a bench run on the TPU + the test suite)
+# can abort inside jax's cache serializer, killing the whole pytest process.
+os.environ.setdefault("NMPC_TPU_CACHE_DIR", tempfile.mkdtemp(prefix="jaxcache-test-"))
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
