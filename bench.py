@@ -415,10 +415,15 @@ def main():
     records.append(_emit(geom, N, B, per_step, fps, hbm,
                          extra=headline_extra or None))
 
-    # Aggregate artifact for the judge (all configs, one file).
+    # Aggregate artifact for the judge (all configs, one file).  Partial runs
+    # (BENCH_SWEEP=headline or a custom single-config run) go to a separate
+    # file so they never clobber the committed full-sweep aggregate
+    # (ADVICE r4).
+    name = "BENCH.json" if (sweep == "full" and not custom) \
+        else "BENCH_partial.json"
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH.json"), "w") as f:
+                               name), "w") as f:
             json.dump({"records": records}, f, indent=1)
     except OSError:  # pragma: no cover - read-only checkout
         pass

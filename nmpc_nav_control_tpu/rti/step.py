@@ -155,7 +155,11 @@ def _make_lin_solver(model, dt, iters, reg, spars):
     cliff that made linearization cost ~10x more at N=80 than at N=40
     (VERDICT r3 item 5; measured numbers in ops/tiled_linearize.py).
     """
-    key = (model, dt, iters, reg, spars)
+    # ModelSpec.f is compare=False (excluded from __eq__/__hash__), so two
+    # specs with identical metadata but different dynamics functions would
+    # otherwise silently share one cached solver closed over the first f
+    # (ADVICE r4) — key on the function identity too.
+    key = (model, id(model.f), dt, iters, reg, spars)
     cached = _LIN_SOLVER_CACHE.get(key)
     if cached is not None:
         return cached

@@ -367,24 +367,43 @@ def resolve_namespace(explicit: str = "", env=None) -> str:
     """Per-robot namespace resolution (``ROBOT_ID`` convention).
 
     The reference launch file namespaces every node under the ``ROBOT_ID``
-    environment variable (``launch/run_nmpc_nav_control.launch:2-4``:
-    ``<group ns="$(env ROBOT_ID)">``) so several robots' controllers can
-    coexist on one ROS master.  Mirrored here: an explicit ``--namespace``
-    wins, else ``$ROBOT_ID``, else empty (global namespace).  The bridge
-    applies it through ``ROS_NAMESPACE`` before ``init_node`` so all topic
-    names (cmd_vel, control_status, ...) resolve under the robot's prefix.
+    environment variable with an ``unnamed_robot`` fallback
+    (``launch/run_nmpc_nav_control.launch:2-4``:
+    ``$(optenv ROBOT_ID unnamed_robot)``) so several robots' controllers can
+    coexist on one ROS master — and so two robots with UNSET ``ROBOT_ID``
+    still collide visibly under ``unnamed_robot`` rather than silently on
+    global topic names.  Mirrored here: an explicit ``--namespace`` wins,
+    else ``$ROBOT_ID``, else ``unnamed_robot``.  The bridge applies it
+    through ``ROS_NAMESPACE`` before ``init_node`` so all topic names
+    (cmd_vel, control_status, ...) resolve under the robot's prefix.
     """
     import os
 
     env = os.environ if env is None else env
-    return explicit or env.get("ROBOT_ID", "") or ""
+    return explicit or env.get("ROBOT_ID", "") or "unnamed_robot"
 
 
-def _apply_namespace(ns: str) -> None:
+def _apply_namespace(ns: str, explicit: bool = False) -> None:
+    """Set ``ROS_NAMESPACE`` to ``ns``.
+
+    An explicit ``--namespace`` OVERWRITES a pre-existing ``ROS_NAMESPACE``
+    (with a warning on conflict); otherwise a pre-set ``ROS_NAMESPACE``
+    (e.g. from a launch-file ``<group ns=...>``) is left in charge.
+    """
     import os
 
-    if ns and not os.environ.get("ROS_NAMESPACE"):
-        os.environ["ROS_NAMESPACE"] = ns
+    if not ns:
+        return
+    current = os.environ.get("ROS_NAMESPACE")
+    if current and current != ns:
+        if not explicit:
+            return
+        import warnings
+
+        warnings.warn(
+            f"--namespace {ns!r} overrides pre-set ROS_NAMESPACE {current!r}",
+            stacklevel=2)
+    os.environ["ROS_NAMESPACE"] = ns
 
 
 def main(argv=None):  # pragma: no cover - requires a live ROS master
@@ -402,7 +421,8 @@ def main(argv=None):  # pragma: no cover - requires a live ROS master
                          "reference launch convention)")
     args = ap.parse_args(argv)
 
-    _apply_namespace(resolve_namespace(args.namespace))
+    _apply_namespace(resolve_namespace(args.namespace),
+                     explicit=bool(args.namespace))
     import rospy
 
     rospy.init_node("nmpc_nav_control_tpu")
@@ -433,7 +453,8 @@ def main_prepare(argv=None):  # pragma: no cover - requires a live ROS master
     ap.add_argument("--namespace", default="")
     args = ap.parse_args(argv)
 
-    _apply_namespace(resolve_namespace(args.namespace))
+    _apply_namespace(resolve_namespace(args.namespace),
+                     explicit=bool(args.namespace))
     import rospy
 
     rospy.init_node("nmpc_nav_control_tpu_generate_solvers")

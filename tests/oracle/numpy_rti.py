@@ -188,7 +188,7 @@ def build_yref(N, robot_theta, traj, n_valid):
 
 
 # ---------------------------------------------------------------------------
-# Dense condensed box-QP (delta form), solved by scipy trust-constr.
+# Dense condensed box-QP (delta form): OSQP-style ADMM + active-set polish.
 # ---------------------------------------------------------------------------
 
 

@@ -6,6 +6,7 @@ field layout matches the reference's wire usage
 (``NMPCNavControlROS.cpp:304-399``).
 """
 import math
+import os
 import types
 
 import numpy as np
@@ -156,9 +157,28 @@ def test_available_is_false_without_ros():
 def test_resolve_namespace_robot_id_convention():
     """Per-robot namespacing follows the reference launch convention
     (``launch/run_nmpc_nav_control.launch:2-4``): explicit wins, then
-    $ROBOT_ID, then the global namespace."""
+    $ROBOT_ID, then the reference's ``unnamed_robot`` fallback
+    (``$(optenv ROBOT_ID unnamed_robot)``)."""
     from nmpc_nav_control_tpu.runtime.ros_bridge import resolve_namespace
 
-    assert resolve_namespace("", env={}) == ""
+    assert resolve_namespace("", env={}) == "unnamed_robot"
     assert resolve_namespace("", env={"ROBOT_ID": "amr_07"}) == "amr_07"
     assert resolve_namespace("explicit", env={"ROBOT_ID": "amr_07"}) == "explicit"
+
+
+def test_apply_namespace_explicit_overrides(monkeypatch):
+    """An explicit --namespace must win over a pre-set ROS_NAMESPACE
+    (ADVICE r4: _apply_namespace previously let the env var silently
+    override the flag); without the flag, a pre-set value stays."""
+    import warnings
+
+    from nmpc_nav_control_tpu.runtime.ros_bridge import _apply_namespace
+
+    monkeypatch.setenv("ROS_NAMESPACE", "pre_set")
+    _apply_namespace("amr_07", explicit=False)
+    assert os.environ["ROS_NAMESPACE"] == "pre_set"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        _apply_namespace("amr_07", explicit=True)
+    assert os.environ["ROS_NAMESPACE"] == "amr_07"
+    assert any("overrides" in str(x.message) for x in w)

@@ -4,7 +4,8 @@ The committed goldens (``tests/goldens/*.npz``, regenerate with
 ``python tools/gen_goldens.py``) hold closed-loop u-trajectories produced by
 ``tests/oracle/numpy_rti.py`` — a JAX-free float64 re-implementation of the
 warm-started RTI sequence (complex-step RK4 sensitivities + dense condensed
-QP via scipy trust-constr), the in-repo analog of the reference's
+box-QP via OSQP-style ADMM plus an exact active-set KKT polish), the
+in-repo analog of the reference's
 independent CasADi/IPOPT oracle (``scripts/test_scripts/casadi_sim_diff.py``).
 
 Each test replays the same closed-loop scenario through the PRODUCTION f32

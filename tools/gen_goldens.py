@@ -1,8 +1,9 @@
 """Generate golden u-trajectories from the NumPy f64 reference-RTI oracle.
 
 Runs the independent oracle (``tests/oracle/numpy_rti.py`` — complex-step
-RK4 sensitivities + dense condensed QP via scipy trust-constr, float64,
-JAX-free) through closed-loop scenarios covering all three steering
+RK4 sensitivities + dense condensed box-QP via OSQP-style ADMM plus an
+exact active-set KKT polish, float64, JAX-free) through closed-loop
+scenarios covering all three steering
 geometries at both reference horizons (N=40 per BASELINE.json's metric,
 N=80 per the reference default config ``scripts/diff/common.py:5-9``),
 including the tricycle as-generated model bug
