@@ -43,7 +43,10 @@ from nmpc_nav_control_tpu.control.controllers import (
     controller_step,
 )
 from nmpc_nav_control_tpu.ocp.spec import OCPData
-from nmpc_nav_control_tpu.paths.discretizer import get_next_n_poses
+from nmpc_nav_control_tpu.paths.discretizer import (
+    get_next_n_poses,
+    get_next_n_poses_fast,
+)
 from nmpc_nav_control_tpu.paths.projection import project_to_path
 from nmpc_nav_control_tpu.paths.windowing import (
     PathWindow,
@@ -83,6 +86,11 @@ class NavConfig:
     max_ori_error_to_path: float = 1.0471975511965976      # 60 deg
     max_active_path_length: float = 5.0
     path_capacity: int = 16
+    # Arc-length resampler: "fast" = parallel chord-table inversion (the
+    # TPU-native default; poses within ~1.5e-3 m of the march at 0.5 m/s),
+    # "march" = the faithful scan form of the reference's adaptive loop
+    # (``PathDiscretizer.cpp:14-63``) for bit-level parity runs.
+    discretizer: str = "fast"
 
 
 class NodeState(NamedTuple):
@@ -252,7 +260,10 @@ def node_tick(
         (pos_err >= cfg.max_pos_error_to_path) | (ori_err >= cfg.max_ori_error_to_path)
     )
 
-    traj_fp = get_next_n_poses(
+    discretize = (
+        get_next_n_poses_fast if cfg.discretizer == "fast" else get_next_n_poses
+    )
+    traj_fp = discretize(
         plist, u_popped, dims.dt, N + 1, is_holonomic=is_omni
     ).astype(dtype)
     last_pose = traj_fp[-1]
@@ -341,9 +352,9 @@ def node_tick(
     # actual_path payload: front active curve of the post-pop/top-up window
     # (pubActualPath runs before any end-of-curve rotation, ``:696``).
     cap = cfg.path_capacity
-    front_fp = jax.tree_util.tree_map(
-        lambda leaf: leaf[jnp.clip(win_fp.head, 0, cap - 1)], win_fp.segs
-    )
+    from nmpc_nav_control_tpu.paths.windowing import select_rows
+
+    front_fp = select_rows(win_fp.segs, jnp.clip(win_fp.head, 0, cap - 1))
     publish_actual = in_fp & fp_solve & (win_fp.active_count > 0)
     next_front = jnp.clip(win_after.head, 0, cap - 1)
     next_frame = jnp.where(

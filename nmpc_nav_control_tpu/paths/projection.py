@@ -70,9 +70,11 @@ def project_to_path(plist: PathList, rx, ry) -> MinDistResult:
     d2 = jnp.where(seg_valid[:, None], d2, jnp.inf)
     flat = jnp.argmin(d2)
     seg_idx = flat // GRID
-    u0 = ugrid[flat % GRID]
+    u0 = (flat % GRID).astype(dtype) / (GRID - 1)   # == ugrid[flat % GRID]
 
-    seg = jax.tree_util.tree_map(lambda leaf: leaf[seg_idx], plist.segs)
+    from nmpc_nav_control_tpu.paths.windowing import select_rows
+
+    seg = select_rows(plist.segs, seg_idx)   # one-hot, not a gather (TPU)
 
     # --- Newton refinement on g(u) = |P(u) - r|^2 / 2. ---
     def newton(u, _):

@@ -36,7 +36,27 @@ from nmpc_nav_control_tpu.paths.segment import PathSegment
 
 __all__ = ["PathWindow", "window_init", "ingest", "top_up", "pop_completed",
            "rotate_end_of_curve", "active_path_list", "active_length",
-           "path_remains"]
+           "path_remains", "select_rows"]
+
+
+def select_rows(segs: PathSegment, idx) -> PathSegment:
+    """Row-select ``segs[idx]`` (idx [] or [K]) as a one-hot contraction.
+
+    A dynamic-index gather here sits on the per-tick hot path under a fleet
+    ``vmap``, where XLA's batched-gather lowering serializes; the one-hot
+    matmul form stays fused (same rationale as ``pathlist._locate``, where
+    it was measured at ~20x).  int leaves (frame_id) ride an f32 dot and
+    round-trip exactly (values are small ids)."""
+    m = segs.frame_id.shape[0]
+    onehot = (jnp.expand_dims(idx, -1) == jnp.arange(m)).astype(segs.cx.dtype)
+
+    def sel(leaf):
+        if leaf.dtype == segs.cx.dtype:
+            return jnp.tensordot(onehot, leaf, axes=1)
+        out = jnp.tensordot(onehot, leaf.astype(segs.cx.dtype), axes=1)
+        return jnp.round(out).astype(leaf.dtype)
+
+    return jax.tree_util.tree_map(sel, segs)
 
 
 class PathWindow(NamedTuple):
@@ -101,16 +121,25 @@ def top_up(win: PathWindow, active_path_u, max_active_path_length: float) -> Pat
     cap = win.segs.frame_id.shape[0]
     length0 = active_length(win, active_path_u)
 
+    iota = jnp.arange(cap)
+
+    def pick(leaf, i):
+        # masked-sum row select: scalar dynamic-index gathers in this
+        # unrolled loop fragment the fused tick under a fleet vmap
+        return jnp.sum(jnp.where(iota == i, leaf, jnp.zeros_like(leaf)))
+
     def body(carry, _):
         active_count, length = carry
         upcoming_left = win.total_count - active_count
         tail_idx = jnp.clip(win.head + active_count - 1, 0, cap - 1)
         head_up = jnp.clip(win.head + active_count, 0, cap - 1)
-        sign_break = (win.segs.velocity[tail_idx] * win.segs.velocity[head_up]) < 0.0
-        frame_break = win.segs.frame_id[tail_idx] != win.segs.frame_id[head_up]
+        sign_break = (pick(win.segs.velocity, tail_idx)
+                      * pick(win.segs.velocity, head_up)) < 0.0
+        frame_break = (pick(win.segs.frame_id, tail_idx)
+                       != pick(win.segs.frame_id, head_up))
         barrier = (active_count > 0) & (sign_break | frame_break)
         take = (length < max_active_path_length) & (upcoming_left > 0) & ~barrier
-        new_len = length + win.segs.length[head_up]
+        new_len = length + pick(win.segs.length, head_up)
         return (
             active_count + take.astype(jnp.int32),
             jnp.where(take, new_len, length),
@@ -154,7 +183,7 @@ def active_path_list(win: PathWindow, capacity: int) -> PathList:
     ``capacity`` is the static output size (>= max active segments)."""
     idx = win.head + jnp.arange(capacity)
     idx = jnp.clip(idx, 0, win.segs.frame_id.shape[0] - 1)
-    segs = jax.tree_util.tree_map(lambda leaf: leaf[idx], win.segs)
+    segs = select_rows(win.segs, idx)
     return PathList(segs=segs, count=jnp.minimum(win.active_count, capacity))
 
 

@@ -134,7 +134,12 @@ def from_dict(raw: Mapping[str, Any]) -> RobotConfig:
         max_ori_error_to_path=float(raw.get("max_ori_error_to_path", 60.0)) * deg,
         max_active_path_length=float(raw.get("max_active_path_length", 5.0)),
         path_capacity=int(raw.get("path_capacity", 16)),
+        discretizer=str(raw.get("discretizer", "fast")),
     )
+    if nav.discretizer not in ("fast", "march"):
+        raise ValueError(
+            f"Invalid discretizer {nav.discretizer!r} (supported: fast, march)"
+        )
 
     kw: dict[str, Any] = dict(
         steering_geometry=geom,

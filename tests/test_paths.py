@@ -164,6 +164,76 @@ def test_discretizer_tail_padding():
     np.testing.assert_allclose(poses[-1][:2], [0.05, 0.0], atol=1e-9)
 
 
+def _fast_march_cases():
+    return {
+        "line": [make_line_segment((0, 0), (1, 0), velocity=0.8)],
+        "curvy": [
+            make_cubic_segment([0.0, 2.0, -1.0, 0.3], [0.0, 0.1, 1.5, -0.6],
+                               velocity=0.6),
+            make_cubic_segment([1.3, 0.5, 0.2], [1.0, 1.2, -0.4],
+                               velocity=0.3),
+        ],
+        "short": [make_line_segment((0, 0), (0.05, 0), velocity=1.0)],
+        "reverse": [make_line_segment((0, 0), (2, 0), velocity=-0.5)],
+    }
+
+
+def test_fast_discretizer_matches_march():
+    """The parallel chord-table resampler tracks the faithful march within
+    ~1.5e-3 m everywhere its semantics are well-defined (the march itself
+    has up to one ~10%-of-spacing late-emission bias, see
+    ``get_next_n_poses_fast``'s docstring): line, multi-segment curvy,
+    end-of-path padding, and reverse driving, over a u0 sweep."""
+    from nmpc_nav_control_tpu.paths.discretizer import get_next_n_poses_fast
+
+    dt, num = 0.025, 41
+    march = jax.jit(lambda pl, u: get_next_n_poses(pl, u, dt, num))
+    fast = jax.jit(lambda pl, u: get_next_n_poses_fast(pl, u, dt, num))
+    for name, segs in _fast_march_cases().items():
+        plist = make_path_list(segs, capacity=4)
+        for u0 in (0.0, 0.3, 0.97):
+            uu = jnp.asarray(u0, jnp.float64)
+            a = np.asarray(march(plist, uu))
+            b = np.asarray(fast(plist, uu))
+            dpos = np.sqrt(((a[:, :2] - b[:, :2]) ** 2).sum(-1)).max()
+            dth = np.abs(np.angle(np.exp(1j * (a[:, 2] - b[:, 2])))).max()
+            assert dpos < 1.5e-3, f"{name} u0={u0}: dpos={dpos}"
+            assert dth < 1e-2, f"{name} u0={u0}: dth={dth}"
+
+
+def test_fast_discretizer_junction_ambiguity_bounded():
+    """At a heading-discontinuous segment junction the emission may land on
+    either side (the march's overshoot-discard vs exact spacing), so theta
+    can differ by the junction's heading jump for that ONE pose — but the
+    position deviation stays sub-centimeter and every other pose agrees."""
+    from nmpc_nav_control_tpu.paths.discretizer import get_next_n_poses_fast
+
+    s1 = make_line_segment((0, 0), (1, 0), velocity=0.8)
+    s2 = make_cubic_segment([1.0, 1.0, 0.0], [0.0, 0.5, 0.5], velocity=0.5)
+    plist = make_path_list([s1, s2], capacity=4)
+    uu = jnp.asarray(0.3, jnp.float64)
+    a = np.asarray(get_next_n_poses(plist, uu, 0.025, 41))
+    b = np.asarray(get_next_n_poses_fast(plist, uu, 0.025, 41))
+    dpos = np.sqrt(((a[:, :2] - b[:, :2]) ** 2).sum(-1))
+    assert dpos.max() < 1e-2
+    dth = np.abs(np.angle(np.exp(1j * (a[:, 2] - b[:, 2]))))
+    assert (dth > 1e-2).sum() <= 1          # at most the junction pose
+
+
+def test_fast_discretizer_vmap_consistent():
+    """Batched (vmap) fast discretization is lane-exact vs single calls."""
+    from nmpc_nav_control_tpu.paths.discretizer import get_next_n_poses_fast
+
+    segs = _fast_march_cases()["curvy"]
+    plist = make_path_list(segs, capacity=4)
+    u0s = jnp.asarray([0.0, 0.2, 0.8, 1.5], jnp.float64)
+    batched = jax.jit(jax.vmap(
+        lambda u: get_next_n_poses_fast(plist, u, 0.025, 41)))(u0s)
+    for i, u0 in enumerate(u0s):
+        single = get_next_n_poses_fast(plist, u0, 0.025, 41)
+        np.testing.assert_allclose(batched[i], single, atol=1e-12)
+
+
 def _three_seg_window(dtype=jnp.float64):
     segs = [
         make_line_segment((0, 0), (2, 0), velocity=1.0, frame_id=1),

@@ -141,24 +141,29 @@ windows = states.window
 plists = jax.vmap(lambda w: active_path_list(w, cfg.path_capacity))(windows)
 u0s = jnp.asarray(rng.uniform(0.0, 0.5, size=(B,)), dtype)
 
-# ---------------- 3. discretizer only ----------------
+# ---------------- 3. discretizer only (march + fast) ----------------
+from nmpc_nav_control_tpu.paths.discretizer import get_next_n_poses_fast
 
 
-def disc_run(k):
-    @jax.jit
-    def f(us):
-        def body(carry, _):
-            poses = jax.vmap(
-                lambda pl, u: get_next_n_poses(pl, u, spec.dims.dt, N + 1)
-            )(plists, carry)
-            nxt = carry + 1e-7 * jnp.tanh(poses.sum(axis=(1, 2)))
-            return nxt, None
-        out, _ = jax.lax.scan(body, us, None, length=k)
-        return out.sum()
-    return f
+def disc_run_with(fn):
+    def disc_run(k):
+        @jax.jit
+        def f(us):
+            def body(carry, _):
+                poses = jax.vmap(
+                    lambda pl, u: fn(pl, u, spec.dims.dt, N + 1)
+                )(plists, carry)
+                nxt = carry + 1e-7 * jnp.tanh(poses.sum(axis=(1, 2)))
+                return nxt, None
+            out, _ = jax.lax.scan(body, us, None, length=k)
+            return out.sum()
+        return f
+    return disc_run
 
 
-emit("discretizer", slope(disc_run, (u0s,)))
+if os.environ.get("NODE_PROBE_MARCH", "0") == "1":
+    emit("discretizer_march", slope(disc_run_with(get_next_n_poses), (u0s,)))
+emit("discretizer_fast", slope(disc_run_with(get_next_n_poses_fast), (u0s,)))
 
 # ---------------- 4. projection only ----------------
 rxy = jnp.asarray(rng.uniform(0.0, 2.0, size=(B, 2)), dtype)
