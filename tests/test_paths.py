@@ -249,6 +249,32 @@ def _three_seg_window(dtype=jnp.float64):
     return jax.tree_util.tree_map(pad, stacked), cap
 
 
+def test_select_rows_matches_indexing():
+    """``windowing.select_rows`` (the gather-free one-hot row select used on
+    the fleet hot path) is value-exact vs plain fancy indexing for both f
+    and int leaves, scalar and vector indices, incl. under vmap."""
+    from nmpc_nav_control_tpu.paths.windowing import select_rows
+
+    segs = make_path_list(
+        [make_line_segment((i, 0), (i + 1, 0), velocity=0.1 * (i + 1),
+                           frame_id=i + 3) for i in range(3)],
+        capacity=5,
+    ).segs
+    for idx in (jnp.asarray(2), jnp.asarray([0, 2, 1, 4])):
+        got = select_rows(segs, idx)
+        want = jax.tree_util.tree_map(lambda leaf: leaf[idx], segs)
+        for g, w in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(want)):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    # batched indices over shared segs
+    idxs = jnp.asarray([0, 1, 4])
+    got = jax.vmap(lambda i: select_rows(segs, i))(idxs)
+    for g, w in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(
+                        jax.tree_util.tree_map(lambda leaf: leaf[idxs], segs))):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 def test_windowing_top_up_respects_length_cap():
     new_segs, cap = _three_seg_window()
     win = window_init(cap, jnp.float64)

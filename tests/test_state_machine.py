@@ -159,6 +159,36 @@ def test_follow_path_tracks_and_finishes():
     assert finished_at * DT < 12.0
 
 
+def test_follow_path_march_discretizer_equivalent():
+    """``NavConfig.discretizer="march"`` (the bit-faithful reference loop)
+    stays wired through node_tick and closes the same loop the "fast"
+    default does: path finished, same end pose within the fast-vs-march
+    resampler tolerance (``get_next_n_poses_fast`` docstring)."""
+    spec, data, cfg = _make_diff()
+    segs = [make_line_segment((0, 0), (1.0, 0), velocity=0.5, frame_id=1)]
+    new_segs = _segs_to_padded(segs, cfg.path_capacity)
+
+    finals = {}
+    for mode in ("march", "fast"):
+        cfg_m = NavConfig(
+            final_position_error=cfg.final_position_error,
+            final_orientation_error=cfg.final_orientation_error,
+            discretizer=mode,
+        )
+        state = on_path_set(node_init(spec, cfg_m, DTYPE), cfg_m, new_segs, 1)
+        tick = jax.jit(lambda s, m, c=cfg_m: node_tick(spec, data, c, s, m))
+        plant = jnp.zeros(5, DTYPE)
+        for t in range(800):
+            state, out = tick(state, _measure(plant))
+            plant = _plant_step(plant, out.cmd)
+            if int(state.status) == IDLE:
+                break
+        assert int(state.status) == IDLE, f"{mode}: path never finished"
+        finals[mode] = np.asarray(plant)
+    assert dist(finals["march"][0], finals["march"][1],
+                finals["fast"][0], finals["fast"][1]) < 5e-3
+
+
 def test_follow_path_safety_abort_to_error():
     spec, data, cfg = _make_diff()
     state = node_init(spec, cfg, DTYPE)
