@@ -35,7 +35,7 @@ from nmpc_nav_control_tpu.ops.pallas_ipm import _nz_positions
 __all__ = ["linearize_packed_tiled"]
 
 
-def linearize_packed_tiled(f, dt, xs, us, p, asp, bsp, chunk: int = 40):
+def linearize_packed_tiled(f, dt, xs, us, p, asp, bsp, chunk: int = None):
     """Linearize the batched trajectory straight into packed tiles.
 
     Args:
@@ -47,11 +47,17 @@ def linearize_packed_tiled(f, dt, xs, us, p, asp, bsp, chunk: int = 40):
       asp/bsp: structural-nonzero patterns of the discrete A/B Jacobians
         (must over-approximate; same contract as the IPM kernels).
       chunk: stages per fused chunk (keep the per-chunk fusion under XLA's
-        size ceiling; 40 measured safe for all three geometries at B=2048).
+        size ceiling; 40 measured safe for all three geometries at B=2048 —
+        and measured OPTIMAL among {20, 40, 80} at N=80, see
+        PERFORMANCE.md).  Default reads ``NMPC_TPU_LIN_CHUNK`` (else 40)
+        so the sweep can be re-probed without a code edit.
 
     Returns (At, Bt, xnt) in tile layout [G, N, e, 8, 128] with
     e = nnzA / nnzB / nx and G = B // 1024.
     """
+    if chunk is None:
+        import os
+        chunk = int(os.environ.get("NMPC_TPU_LIN_CHUNK", "40"))
     F = make_discrete_dynamics(f, dt)
     B, Np1, nx = xs.shape
     N = Np1 - 1

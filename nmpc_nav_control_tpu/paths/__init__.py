@@ -1,4 +1,7 @@
-from nmpc_nav_control_tpu.paths.discretizer import get_next_n_poses
+from nmpc_nav_control_tpu.paths.discretizer import (
+    get_next_n_poses,
+    get_next_n_poses_fast,
+)
 from nmpc_nav_control_tpu.paths.pathlist import (
     PathList,
     make_path_list,
@@ -31,6 +34,7 @@ __all__ = [
     "active_length",
     "active_path_list",
     "get_next_n_poses",
+    "get_next_n_poses_fast",
     "ingest",
     "make_cubic_segment",
     "make_line_segment",
