@@ -7,6 +7,7 @@ behaviors of ``NMPCNavControlROS::mainCycle`` (``NMPCNavControlROS.cpp:516-720``
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nmpc_nav_control_tpu.control import make_controller
 from nmpc_nav_control_tpu.control.state_machine import (
@@ -159,6 +160,7 @@ def test_follow_path_tracks_and_finishes():
     assert finished_at * DT < 12.0
 
 
+@pytest.mark.slow
 def test_follow_path_march_discretizer_equivalent():
     """``NavConfig.discretizer="march"`` (the bit-faithful reference loop)
     stays wired through node_tick and closes the same loop the "fast"
