@@ -164,9 +164,14 @@ def get_next_n_poses_fast(
     exact accumulated-chord target on a finer table.  Deviations are below
     1.5e-3 m at 0.5 m/s (``tests/test_paths.py`` pins them) — an order of
     magnitude inside ``final_position_error`` — with identical end-of-path
-    clamping and tail padding.  Select per deployment via
-    ``NavConfig.discretizer`` ("fast" default, "march" for bit-level parity
-    with the reference loop).
+    clamping and tail padding.  One DELIBERATE deviation: on a zero-tangent
+    (degenerate, constant-point) segment the reference computes
+    ``du = rel/|dP/du| -> inf`` and jumps straight to the path end
+    (``PathDiscretizer.cpp:31,52``, reproduced by the march above); this
+    resampler treats zero tangent as zero arc and keeps resampling the
+    remaining path — the sane reading of an input the planner contract
+    never produces.  Select per deployment via ``NavConfig.discretizer``
+    ("fast" default, "march" for bit-level parity with the reference loop).
     """
     from nmpc_nav_control_tpu.paths.segment import poly_eval
 

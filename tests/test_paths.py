@@ -220,6 +220,57 @@ def test_fast_discretizer_junction_ambiguity_bounded():
     assert (dth > 1e-2).sum() <= 1          # at most the junction pose
 
 
+def test_fast_discretizer_edge_cases():
+    """Degenerate inputs that break naive resamplers: a zero-length segment
+    mid-path (flat arc table), a speed change across a junction, u0 at/past
+    the path end, and an empty path.  Must stay finite, keep the end-of-path
+    padding contract, and stay near the march where it is defined."""
+    from nmpc_nav_control_tpu.paths.discretizer import get_next_n_poses_fast
+
+    dt, num = 0.025, 41
+    # zero-length segment between two lines + speed change 0.8 -> 0.2
+    degen = make_cubic_segment([1.0], [0.0], velocity=0.8)    # constant point
+    plist = make_path_list(
+        [make_line_segment((0, 0), (1, 0), velocity=0.8),
+         degen,
+         make_line_segment((1, 0), (2, 0), velocity=0.2)],
+        capacity=4,
+    )
+    march = jax.jit(lambda pl, u: get_next_n_poses(pl, u, dt, num))
+    fast = jax.jit(lambda pl, u: get_next_n_poses_fast(pl, u, dt, num))
+    # Before the degenerate segment is reached, fast == march.
+    a = np.asarray(march(plist, jnp.asarray(0.0, jnp.float64)))
+    b = np.asarray(fast(plist, jnp.asarray(0.0, jnp.float64)))
+    assert np.sqrt(((a[:, :2] - b[:, :2]) ** 2).sum(-1)).max() < 1.5e-3
+    # ON/past the zero-tangent segment the behaviors deliberately diverge:
+    # the march inherits the reference's du = rel/|dP/du| -> inf artifact
+    # (jumps straight to the path end, ``PathDiscretizer.cpp:31,52``); the
+    # fast resampler treats zero tangent as zero arc and keeps resampling
+    # the remaining path.  Require the fast output to be sane: finite,
+    # on-path, x monotone non-decreasing.
+    for u0 in (0.9, 1.5):
+        b = np.asarray(fast(plist, jnp.asarray(u0, jnp.float64)))
+        assert np.isfinite(b).all(), f"u0={u0}"
+        assert (np.abs(b[:, 1]) < 1e-9).all(), f"u0={u0}: off path"
+        assert (np.diff(b[:, 0]) > -1e-9).all(), f"u0={u0}: non-monotone"
+        assert b[:, 0].min() >= -1e-9 and b[:, 0].max() <= 2.0 + 1e-9
+
+    # u0 at and past the end: all poses collapse to the end pose
+    short = make_path_list([make_line_segment((0, 0), (1, 0))], capacity=2)
+    for u0 in (1.0, 1.7):
+        b = np.asarray(fast(short, jnp.asarray(u0, jnp.float64)))
+        np.testing.assert_allclose(b, np.tile(b[-1], (num, 1)), atol=1e-9)
+        np.testing.assert_allclose(b[-1][:2], [1.0, 0.0], atol=1e-9)
+
+    # empty path list (count == 0): finite, matches the march's padding
+    empty = make_path_list([make_line_segment((0, 0), (1, 0))], capacity=2)
+    empty = empty._replace(count=jnp.asarray(0, jnp.int32))
+    b = np.asarray(fast(empty, jnp.asarray(0.0, jnp.float64)))
+    a = np.asarray(march(empty, jnp.asarray(0.0, jnp.float64)))
+    assert np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, atol=1e-9)
+
+
 def test_fast_discretizer_vmap_consistent():
     """Batched (vmap) fast discretization is lane-exact vs single calls."""
     from nmpc_nav_control_tpu.paths.discretizer import get_next_n_poses_fast
