@@ -131,7 +131,6 @@ def get_next_n_poses_fast(
     is_holonomic: bool = False,
     coarse_samples: int = 64,
     fine_samples: int = 512,
-    speed_iters: int = 3,
 ):
     """TPU-native arc-length resampler (same contract as
     :func:`get_next_n_poses`, parallel instead of marched).
@@ -151,12 +150,14 @@ def get_next_n_poses_fast(
          resolution adapts to the window, ~0.5 mm at 0.5 m/s);
       3. the emission recurrence  t_k = t_{k-1} + |vel(u_{k-1})| * dt,
          u_k = s^{-1}(t_k)  (pose spacing follows the segment speed AT the
-         previous emitted pose, exactly the march's goal update) is solved
-         by ``speed_iters`` Jacobi sweeps: guess speeds -> cumsum targets ->
-         interpolate all u_k in parallel -> re-read speeds.  Segment speeds
-         are piecewise constant, so the sweep converges as soon as each
-         emission's segment assignment stabilizes (exact after 2 sweeps
-         unless an emission sits exactly on a boundary).
+         previous emitted pose, exactly the march's goal update) has
+         piecewise-constant speeds, so it is solved EXACTLY by one static
+         pass over the M segments (targets advance by spacing_j inside
+         segment j; the boundary-crossing step keeps j's spacing), then a
+         single parallel table inversion for all u_k.  (A Jacobi-sweep
+         formulation was tried first and rejected: it needs ~one sweep per
+         crossed speed boundary and silently under-converged — 7 cm pose
+         error — on short-segment speed-contrast paths.)
 
     Differences vs the march, by construction: the march emits up to one
     sub-step (~10% of one pose spacing) late and discards the overshoot,
@@ -180,16 +181,21 @@ def get_next_n_poses_fast(
     u0 = jnp.minimum(jnp.asarray(nearest_u, dtype), n_end)
     eps = jnp.asarray(1e-6, dtype)
 
+    DEG = plist.segs.cx.shape[-1]
+    cxy = jnp.concatenate([plist.segs.cx, plist.segs.cy], axis=-1)  # [M, 2D]
+
     def xy_sample(us):
         """[n] global u -> [n, 2] points (positions only — the chord table
-        needs no headings, so skip _locate's theta/frame/velocity work)."""
+        needs no headings, so skip _locate's theta/frame/velocity work;
+        cx/cy ride one packed one-hot matmul)."""
         seg_i = jnp.clip(jnp.floor(us).astype(jnp.int32), 0, plist.count - 1)
         lu = jnp.clip(us - seg_i.astype(dtype), 0.0, 1.0)
-        m = plist.segs.cx.shape[0]
+        m = cxy.shape[0]
         onehot = (seg_i[:, None] == jnp.arange(m)).astype(dtype)   # [n, M]
-        cx = onehot @ plist.segs.cx                                # [n, DEG]
-        cy = onehot @ plist.segs.cy
-        return jnp.stack([poly_eval(cx, lu), poly_eval(cy, lu)], axis=-1)
+        cc = onehot @ cxy                                          # [n, 2D]
+        return jnp.stack(
+            [poly_eval(cc[..., :DEG], lu), poly_eval(cc[..., DEG:], lu)],
+            axis=-1)
 
     def chord_table(lo, hi, n):
         """Chord-cumulative arc lengths [n+1] over a uniform u grid on
@@ -231,21 +237,61 @@ def get_next_n_poses_fast(
     duf, sf = chord_table(u0, u_hi, fine_samples)
     s_total = sf[-1]
 
-    # --- 3. Jacobi sweeps on the speed/emission recurrence ------------
+    # --- 3. exact per-segment solve of the emission recurrence --------
+    # The recurrence  t_k = t_{k-1} + dt * |vel(segment of pose k-1)|  has
+    # piecewise-constant speeds, so it is solved EXACTLY by one static
+    # pass over the M segments: inside segment j, targets advance by
+    # spacing_j = dt * |vel_j| until they cross the segment's end arc S_j;
+    # the crossing step keeps segment j's spacing (the march's goal rule:
+    # the goal is set by the speed at the PREVIOUS emitted pose).  No
+    # per-pose iteration, no convergence question (a Jacobi formulation
+    # needed ~one sweep per crossed boundary and silently under-converged
+    # on short-segment speed-contrast paths).
     dt_ = jnp.asarray(sample_period, dtype)
-    speed0 = _seg_speed(plist, u0)
-    sp_prev = jnp.full((num_poses,), speed0, dtype)   # speed at pose k-1
-    t = jnp.cumsum(dt_ * sp_prev)
-    for _ in range(speed_iters):
-        u_em = invert_arc(t, sf, u0, duf)
-        sp = jax.vmap(lambda u: _seg_speed(plist, u))(u_em)
-        sp_prev = jnp.concatenate([sp_prev[:1], sp[:-1]])
-        t = jnp.cumsum(dt_ * sp_prev)
+    M = plist.segs.velocity.shape[0]
+    spacing = jnp.maximum(jnp.abs(plist.segs.velocity) * dt_, eps)   # [M]
+    # S_j: table arc at the end of segment j (global u = j+1), gather-free.
+    # Table point i sits at u = u0 + i*duf.
+    i_tab = jnp.arange(sf.shape[0], dtype=dtype)
+    u_tab = u0 + i_tab * duf
+    jb = jnp.arange(M, dtype=dtype) + 1.0                            # [M]
+    S = jnp.max(jnp.where(u_tab[None, :] <= jb[:, None] + 1e-9,
+                          sf[None, :], 0.0), axis=1)                 # [M]
+
+    P = num_poses
+    a = _seg_speed(plist, u0) * dt_        # first target (march's goal0)
+    k = jnp.zeros((), dtype)
+    a_in = []
+    K = []
+    n_in = []
+    for j in range(M):                      # static unroll, no gathers
+        sp = spacing[j]
+        room = S[j] - a
+        n = jnp.where(room >= -1e-12, jnp.floor(room / sp) + 1.0, 0.0)
+        n = jnp.clip(n, 0.0, P - k)
+        a_in.append(a)
+        K.append(k)
+        n_in.append(n)
+        a = a + n * sp
+        k = k + n
+    # Targets past the last segment's arc keep stepping with the last
+    # spacing (they fall off the table and clamp to the path end anyway).
+    a_in.append(a)
+    K.append(k)
+    n_in.append(jnp.asarray(float(P), dtype) - k)
+    a_in, K, n_in = jnp.stack(a_in), jnp.stack(K), jnp.stack(n_in)
+    sp_all = jnp.concatenate([spacing, spacing[-1:]])
+    ks = jnp.arange(P, dtype=dtype)
+    in_j = (ks[None, :] >= K[:, None]) & (ks[None, :] < (K + n_in)[:, None])
+    t = jnp.sum(jnp.where(in_j,
+                          a_in[:, None] + (ks[None, :] - K[:, None])
+                          * sp_all[:, None], 0.0), axis=0)           # [P]
+    sp_prev = jnp.diff(jnp.concatenate([jnp.zeros((1,), dtype), t]))
 
     # --- 4. emission mask + poses + tail padding ----------------------
     # The march's 1% rule counts a >= 99%-complete final interval as
     # emitted; mirror it so the emitted count matches at path end.
-    emit = (t - 0.01 * dt_ * sp_prev) <= s_total
+    emit = (t - 0.01 * sp_prev) <= s_total
     u_em = jnp.where(emit, invert_arc(t, sf, u0, duf), n_end)
     poses = jax.vmap(lambda u: pose_sample(plist, u, is_holonomic))(u_em)
     last = pose_sample(plist, n_end, is_holonomic)

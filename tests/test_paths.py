@@ -201,6 +201,32 @@ def test_fast_discretizer_matches_march():
             assert dth < 1e-2, f"{name} u0={u0}: dth={dth}"
 
 
+def test_fast_discretizer_multi_speed_boundaries():
+    """Short segments with contrasting speeds: the horizon crosses several
+    speed boundaries, so each pose's spacing switches mid-horizon.  The
+    exact per-segment solve must track the march through all of them (the
+    rejected Jacobi formulation under-converged here by ~7 cm)."""
+    from nmpc_nav_control_tpu.paths.discretizer import get_next_n_poses_fast
+
+    dt, num = 0.025, 41
+    plist = make_path_list(
+        [make_line_segment((0, 0), (0.3, 0), velocity=0.9),
+         make_line_segment((0.3, 0), (0.6, 0), velocity=0.3),
+         make_line_segment((0.6, 0), (2.0, 0), velocity=0.7)],
+        capacity=4,
+    )
+    march = jax.jit(lambda pl, u: get_next_n_poses(pl, u, dt, num))
+    fast = jax.jit(lambda pl, u: get_next_n_poses_fast(pl, u, dt, num))
+    for u0 in (0.0, 0.3, 0.97, 1.5):
+        uu = jnp.asarray(u0, jnp.float64)
+        a = np.asarray(march(plist, uu))
+        b = np.asarray(fast(plist, uu))
+        dpos = np.sqrt(((a[:, :2] - b[:, :2]) ** 2).sum(-1)).max()
+        # worst case (u0 exactly on a boundary of a short fast segment) is
+        # bounded by the march's own <=1-substep late-emission bias.
+        assert dpos < 1e-2, f"u0={u0}: dpos={dpos}"
+
+
 def test_fast_discretizer_junction_ambiguity_bounded():
     """At a heading-discontinuous segment junction the emission may land on
     either side (the march's overshoot-discard vs exact spacing), so theta
