@@ -201,6 +201,34 @@ def test_fast_discretizer_matches_march():
             assert dth < 1e-2, f"{name} u0={u0}: dth={dth}"
 
 
+def test_fast_discretizer_holonomic_heading():
+    """omni4's holonomic mode samples the dedicated heading profile
+    (``GetThetaHolomonic``, ``PathDiscretizer.cpp:83``); fast and march
+    must agree on it too (the arc table ignores theta, so this pins that
+    the final pose sampling still routes through the holonomic branch)."""
+    from nmpc_nav_control_tpu.paths.discretizer import get_next_n_poses_fast
+
+    dt, num = 0.025, 41
+    plist = make_path_list(
+        [make_cubic_segment([0.0, 1.0], [0.0, 0.4], velocity=0.6,
+                            ch_coeffs=[0.2, 1.1, -0.5]),
+         make_cubic_segment([1.0, 0.8, 0.2], [0.4, 0.7], velocity=0.4,
+                            ch_coeffs=[0.8, -0.3])],
+        capacity=4,
+    )
+    for u0 in (0.0, 0.4, 1.2):
+        uu = jnp.asarray(u0, jnp.float64)
+        a = np.asarray(get_next_n_poses(plist, uu, dt, num,
+                                        is_holonomic=True))
+        b = np.asarray(get_next_n_poses_fast(plist, uu, dt, num,
+                                             is_holonomic=True))
+        dpos = np.sqrt(((a[:, :2] - b[:, :2]) ** 2).sum(-1)).max()
+        dth = np.abs(np.angle(np.exp(1j * (a[:, 2] - b[:, 2]))))
+        assert dpos < 1.5e-3, f"u0={u0}: dpos={dpos}"
+        # heading is continuous in u here, so no junction exemption needed
+        assert dth.max() < 5e-3, f"u0={u0}: dth={dth.max()}"
+
+
 def test_fast_discretizer_multi_speed_boundaries():
     """Short segments with contrasting speeds: the horizon crosses several
     speed boundaries, so each pose's spacing switches mid-horizon.  The
