@@ -71,6 +71,11 @@ def _locate(plist: PathList, sample_u):
     m = plist.segs.cx.shape[0]
     onehot = (jnp.arange(m) == path_num).astype(u.dtype)    # [M]
 
+    # Per-leaf contractions ON PURPOSE: most call sites consume a subset of
+    # the leaves, and XLA dead-code-eliminates the unused contractions.  A
+    # variant packing all leaves into one [M, K] matmul was tried and
+    # measured SLOWER on the fleet tick for exactly that reason (the pack
+    # forces every leaf to be computed; see PERFORMANCE.md round-5 notes).
     def sel(leaf):
         w = onehot.astype(leaf.dtype) if leaf.dtype != onehot.dtype else onehot
         return jnp.tensordot(w, leaf, axes=1)
